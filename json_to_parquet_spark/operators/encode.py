@@ -1,0 +1,149 @@
+"""Pass-2 chunk encoder (SURVEY §2C): DataFrame → encoded column chunks.
+
+One chunk = all rows with the same deterministic chunk id
+(`pmod(xxhash64(key), n_chunks)` — see operators/chunking.py). Chunks are
+encoded with `groupBy(chunk_id).applyInPandas`: each group arrives as one
+Arrow-backed pandas DataFrame, is sorted by key (so chunk payloads are
+bit-identical across runs and cluster sizes), and every column is encoded
+by the vectorized kernels in functions/codecs — zero per-row Python.
+
+Output: one row per (chunk_id, column) with the payload blob, codec
+actually used, JSON meta, sizes, sha256 checksum, and wall time — the
+same rows double as the lineage/metrics manifest entries.
+
+Capability ancestor: the implicit dictionary/RLE/bit-pack encoding
+parquet-mr applies for the reference at src/Writer.java:25-26; here the
+encoding layer is explicit and native to the engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codecs.column import (decode_column, encode_column,
+                                       meta_from_json, meta_to_json)
+from .chunking import CHUNK_COL, with_chunk_id
+
+CHUNK_SCHEMA = T.StructType([
+    T.StructField("chunk_id", T.IntegerType(), False),
+    T.StructField("column", T.StringType(), False),
+    T.StructField("codec", T.StringType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("raw_bytes", T.LongType(), False),
+    T.StructField("enc_bytes", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+    T.StructField("meta", T.StringType(), False),
+    T.StructField("checksum", T.StringType(), False),
+    T.StructField("wall_ms", T.DoubleType(), False),
+])
+
+_SPARK_TO_ARROW = {
+    T.ByteType: pa.int8(),
+    T.ShortType: pa.int16(),
+    T.IntegerType: pa.int32(),
+    T.LongType: pa.int64(),
+    T.FloatType: pa.float32(),
+    T.DoubleType: pa.float64(),
+    T.BooleanType: pa.bool_(),
+    T.StringType: pa.string(),
+    T.BinaryType: pa.binary(),
+    T.DateType: pa.date32(),
+}
+
+
+def arrow_schema_for(schema: T.StructType) -> pa.Schema:
+    fields = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            at = pa.timestamp("us")
+        else:
+            at = _SPARK_TO_ARROW.get(type(f.dataType))
+            if at is None:
+                raise ValueError(f"unsupported column type {f.dataType}")
+        fields.append(pa.field(f.name, at, nullable=f.nullable))
+    return pa.schema(fields)
+
+
+def _encode_group_fn(key_col: str, columns: list[str], codecs: dict[str, str],
+                     arrow_schema: pa.Schema):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk_id = int(pdf[CHUNK_COL].iloc[0])
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        table = pa.Table.from_pandas(
+            pdf[columns], schema=arrow_schema, preserve_index=False)
+        rows = []
+        for c in columns:
+            t0 = time.perf_counter()
+            arr = table.column(c).combine_chunks()
+            raw = sum(b.size for b in arr.buffers() if b is not None)
+            payload, meta = encode_column(arr, codecs.get(c, "plain"))
+            rows.append((
+                chunk_id, c, meta["codec"], len(arr), int(raw), len(payload),
+                payload, meta_to_json(meta),
+                hashlib.sha256(payload).hexdigest(),
+                (time.perf_counter() - t0) * 1000.0,
+            ))
+        return pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA])
+    return fn
+
+
+def encode_chunks(df: DataFrame, key: str, codecs: dict[str, str],
+                  n_chunks: int) -> DataFrame:
+    """Encode `df` into per-(chunk, column) payload rows."""
+    columns = [f.name for f in df.schema.fields]
+    aschema = arrow_schema_for(df.schema)
+    chunked = with_chunk_id(df, key, n_chunks)
+    return chunked.groupBy(CHUNK_COL).applyInPandas(
+        _encode_group_fn(key, columns, codecs, aschema), schema=CHUNK_SCHEMA)
+
+
+def _decode_group_fn(schema: T.StructType, arrow_schema: pa.Schema):
+    columns = [f.name for f in schema.fields]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrays = {}
+        for _, row in pdf.iterrows():
+            meta = meta_from_json(row["meta"])
+            arrays[row["column"]] = decode_column(bytes(row["payload"]), meta)
+        table = pa.table({c: arrays[c] for c in columns},
+                         schema=arrow_schema)
+        out = table.to_pandas(types_mapper=None)
+        return out
+    return fn
+
+
+def decode_chunks(chunks: DataFrame, schema: T.StructType) -> DataFrame:
+    """Inverse of encode_chunks: encoded chunk rows → original-schema rows."""
+    aschema = arrow_schema_for(schema)
+    return chunks.groupBy("chunk_id").applyInPandas(
+        _decode_group_fn(schema, aschema), schema=schema)
+
+
+def verify_roundtrip(src: DataFrame, decoded: DataFrame, key: str) -> DataFrame:
+    """Per-column bit-identity check: join on `key`, count mismatches.
+
+    Returns one row: total rows joined + one `<col>_bad` count per column
+    (null-safe equality; binary/string compare byte-exactly). All-zero
+    `_bad` counts + matching row counts = round-trip success.
+    """
+    cols = [f.name for f in src.schema.fields if f.name != key]
+    s = src.alias("s")
+    d = decoded.alias("d")
+    joined = s.join(d, F.col(f"s.{key}") == F.col(f"d.{key}"), "full_outer")
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col(f"s.{key}").isNull() | F.col(f"d.{key}").isNull(),
+                     1).otherwise(0)).alias("key_missing"),
+    ]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")), 0)
+                  .otherwise(1)).alias(f"{c}_bad"))
+    return joined.agg(*aggs)

@@ -1,0 +1,61 @@
+"""Codec auto-selection: per-column stats → codec decision (SURVEY §2C).
+
+Pure driver-side function over the (tiny) collected stats dict; the
+decision manifest is broadcast into the encode stage implicitly via the
+applyInPandas closure (a dict of a few strings — not task-sized state).
+
+Decision rules (heuristics mirroring the classic lightweight-compression
+selection literature — dictionary/RLE/FOR/FSST — tuned on the synthetic
+web table and validated by the size gate in tests):
+
+  any lane : avg_run >= 3              → RLE (long runs dominate)
+  int/ts   : distinct small vs rows    → DICT
+             else                      → FOR+bitpack (never loses to plain
+                                          by more than the 2-int header)
+  float    : distinct <= rows/8        → DICT, else PLAIN (raw bits)
+  bool     : RLE vs PLAIN by runs
+  str/bin  : distinct <= rows/4        → DICT (payload dedup, codes packed)
+             byte histogram skewed / free code bytes exist → FSST
+             else                      → PLAIN
+Encoders themselves downgrade when the chosen codec yields no gain
+(fsst→plain fallback etc.), so a wrong pick costs time, not correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+_BYTES_TYPES = (T.StringType, T.BinaryType)
+_FLOAT_TYPES = (T.FloatType, T.DoubleType)
+
+
+def choose_codec(stats: dict, dtype: T.DataType) -> str:
+    rows = max(1, stats.get("non_null") or stats.get("rows") or 1)
+    distinct = stats.get("distinct") or rows
+    avg_run = stats.get("avg_run") or 1.0
+
+    if avg_run >= 3.0:
+        return "rle"
+    if isinstance(dtype, T.BooleanType):
+        return "plain"
+    if isinstance(dtype, _BYTES_TYPES):
+        if distinct <= rows / 4 and distinct <= 1 << 20:
+            return "dict"
+        distinct_bytes = stats.get("distinct_bytes", 256)
+        top_frac = stats.get("top_byte_frac", 0.0)
+        if distinct_bytes <= 252 - 4 and (top_frac >= 0.02 or distinct_bytes <= 128):
+            return "fsst"
+        return "plain"
+    if isinstance(dtype, _FLOAT_TYPES):
+        return "dict" if distinct <= rows / 8 else "plain"
+    # integer / timestamp / date lane
+    if distinct <= rows / 8 and distinct <= 1 << 16:
+        return "dict"
+    return "for"
+
+
+def choose_codecs(stats_by_col: dict[str, dict],
+                  schema: T.StructType) -> dict[str, str]:
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    return {c: choose_codec(s, dtypes[c]) for c, s in stats_by_col.items()
+            if c in dtypes}
