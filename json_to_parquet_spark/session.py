@@ -25,6 +25,14 @@ def get_spark(app: str = "json_to_parquet_spark", cores: int | None = None,
         master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Python workers are separate processes: make this package importable
+    # there regardless of the driver's cwd (cluster deploys use
+    # `spark-submit --py-files` instead; see cli.py).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{prev}" if prev else pkg_parent)
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
