@@ -1,0 +1,182 @@
+"""End-to-end encode pipeline (SURVEY §3.4): the engine's flagship plan.
+
+    source DF
+      → pass 1: sampled column stats (stats.collect_stats)
+      → driver codec decision (selector.choose_codecs)
+      → deterministic chunk assignment pmod(xxhash64(key), n_chunks)
+      → pass 2: groupBy(chunk).applyInPandas encode (codecs.*)
+      → chunk store  (parquet, partitioned by chunk_id, dynamic overwrite)
+      → manifest     (parquet append: per-(chunk,column) codec/bytes/
+                      checksum/wall — lineage + metrics checkpoint)
+      → run metrics  (json per run)
+
+Resumability: a chunk is *complete* when the manifest holds rows for all
+its columns. A restarted run recomputes only incomplete chunks; dynamic
+partition overwrite replaces any half-written chunk directories from the
+crashed attempt, so the final chunk store is identical to a single-shot
+run (chunk payloads are deterministic — sorted by key within a chunk).
+
+Scale notes (the 100 TB design point):
+  - chunk membership is a pure row function → no global coordination;
+    the only shuffle is the hash partition by chunk id, sized by
+    `target_chunk_bytes` so one chunk ≈ one comfortable Arrow group.
+  - the manifest is tiny (n_chunks × n_cols rows) → completed-chunk
+    filtering is a broadcast semi-join (isin on chunk ids).
+  - pass 1 samples; it never re-reads the full table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.chunking import CHUNK_COL, with_chunk_id
+from ..operators.encode import decode_chunks, encode_chunks, verify_roundtrip
+from ..operators.selector import choose_codecs
+from ..operators.stats import collect_stats
+
+_TYPE_WIDTHS = {"bigint": 8, "double": 8, "int": 4, "float": 4, "boolean": 1,
+                "timestamp": 8, "date": 4}
+
+
+def _estimate_row_bytes(schema: T.StructType, stats: dict) -> float:
+    total = 0.0
+    for f in schema.fields:
+        s = stats.get(f.name, {})
+        if s.get("avg_len") is not None:
+            total += float(s["avg_len"]) + 4
+        else:
+            total += _TYPE_WIDTHS.get(f.dataType.simpleString(), 8)
+    return max(1.0, total)
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def _chunks_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "chunks")
+
+
+def _meta_file(out_dir: str) -> str:
+    return os.path.join(out_dir, "table_meta.json")
+
+
+def completed_chunks(spark: SparkSession, out_dir: str, n_cols: int) -> list[int]:
+    """Chunk ids whose manifest rows cover every column (lineage check)."""
+    path = _manifest_path(out_dir)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return []
+    done = (m.groupBy("chunk_id")
+            .agg(F.countDistinct("column").alias("ncols"))
+            .filter(F.col("ncols") >= n_cols)
+            .select("chunk_id"))
+    return [r.chunk_id for r in done.collect()]
+
+
+def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
+               key: str = "url", codecs: dict[str, str] | None = None,
+               n_chunks: int | None = None, sample_fraction: float = 0.25,
+               target_chunk_bytes: int = 32 << 20, resume: bool = True,
+               max_chunks_this_run: int | None = None) -> dict:
+    """Run (or resume) the encode pipeline. Returns run metrics."""
+    t0 = time.perf_counter()
+    os.makedirs(out_dir, exist_ok=True)
+    columns = [f.name for f in src.schema.fields]
+
+    # --- pass 1: stats + codec decision (skipped when caller pins codecs)
+    stats = collect_stats(src, sample_fraction=sample_fraction)
+    if codecs is None:
+        codecs = choose_codecs(stats, src.schema)
+    rows_sampled = next(iter(stats.values()))["rows"] if stats else 0
+    est_rows = int(rows_sampled / max(sample_fraction, 1e-9)) if sample_fraction < 1.0 else rows_sampled
+    if n_chunks is None:
+        est_bytes = est_rows * _estimate_row_bytes(src.schema, stats)
+        n_chunks = max(1, math.ceil(est_bytes / target_chunk_bytes))
+
+    # persist table meta (schema + decisions) for decode/read_encoded
+    with open(_meta_file(out_dir), "w") as fh:
+        json.dump({"schema": src.schema.json(), "key": key,
+                   "n_chunks": n_chunks, "codecs": codecs,
+                   "stats": {c: {k: v for k, v in s.items()}
+                             for c, s in stats.items()}}, fh, default=str)
+
+    # --- resume: restrict to incomplete chunks
+    done = completed_chunks(spark, out_dir, len(columns)) if resume else []
+    todo_limited = None
+    chunked = with_chunk_id(src, key, n_chunks)
+    if done:
+        chunked = chunked.filter(~F.col(CHUNK_COL).isin(done))
+    if max_chunks_this_run is not None:
+        todo = sorted(set(range(n_chunks)) - set(done))[:max_chunks_this_run]
+        chunked = chunked.filter(F.col(CHUNK_COL).isin(todo))
+        todo_limited = todo
+
+    # --- pass 2: encode + persist chunk store
+    # encode_chunks re-derives the (identical) chunk id itself
+    chunks = encode_chunks(chunked.drop(CHUNK_COL), key, codecs, n_chunks)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (chunks.write.mode("overwrite").partitionBy("chunk_id")
+           .parquet(_chunks_path(out_dir)))
+
+    # --- manifest append (lineage + metrics checkpoint, no payloads)
+    run_id = uuid.uuid4().hex[:12]
+    written = spark.read.parquet(_chunks_path(out_dir))
+    if done:
+        written = written.filter(~F.col("chunk_id").isin(done))
+    if todo_limited is not None:
+        written = written.filter(F.col("chunk_id").isin(todo_limited))
+    manifest = written.select(
+        "chunk_id", "column", "codec", "n_rows", "raw_bytes", "enc_bytes",
+        "checksum", "wall_ms").withColumn("run_id", F.lit(run_id)) \
+        .withColumn("status", F.lit("ok"))
+    manifest.write.mode("append").parquet(_manifest_path(out_dir))
+
+    # --- run metrics
+    agg = manifest.agg(
+        F.countDistinct("chunk_id").alias("chunks"),
+        F.sum(F.when(F.col("column") == key, F.col("n_rows")).otherwise(0)).alias("rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes")).collect()[0]
+    metrics = {
+        "run_id": run_id, "n_chunks": n_chunks,
+        "chunks_encoded": agg["chunks"] or 0,
+        "chunks_skipped": len(done),
+        "rows": int(agg["rows"] or 0),
+        "raw_bytes": int(agg["raw_bytes"] or 0),
+        "enc_bytes": int(agg["enc_bytes"] or 0),
+        "codecs": codecs,
+        "wall_s": time.perf_counter() - t0,
+    }
+    with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as fh:
+        json.dump(metrics, fh)
+    return metrics
+
+
+def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Decode the chunk store back to the original-schema DataFrame."""
+    with open(_meta_file(out_dir)) as fh:
+        meta = json.load(fh)
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    chunks = spark.read.parquet(_chunks_path(out_dir))
+    return decode_chunks(chunks, schema)
+
+
+def verify_encoded(spark: SparkSession, src: DataFrame, out_dir: str) -> dict:
+    """Round-trip gate: decode chunk store, compare to src bit-identically."""
+    with open(_meta_file(out_dir)) as fh:
+        meta = json.load(fh)
+    decoded = read_encoded(spark, out_dir)
+    row = verify_roundtrip(src, decoded, meta["key"]).collect()[0].asDict()
+    row["ok"] = all(v == 0 for k, v in row.items()
+                    if k.endswith("_bad") or k == "key_missing")
+    return row
