@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)`   — flagship: full encode→decode→verify pipeline on a
+                   deterministic synthetic web-pages table + the sf0.001
+                   documents table; returns the per-chunk manifest with
+                   round-trip status.
+`queries()`      — one entry per implemented operator family
+                   (SURVEY.md §2 + training-data ops).
+`oracle_sql()`   — DuckDB twins for every SQL-expressible query; value
+                   parity relies on: integer aggregates cast to BIGINT,
+                   money aggregates summed as DECIMAL(18,2) (exact,
+                   associative), raw parquet doubles passed through
+                   untouched, and identical scalar expression trees for
+                   per-row doubles.
+
+Column names are aliased identically on both sides (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +22,487 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode pipeline end-to-end on synthetic web pages (input_hint shape)
+    at sf0.001 scale; returns manifest rows + verification flag."""
+    import tempfile
+
+    from json_to_parquet_spark.plans import pipeline
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 2000, seed=42)
+    out = tempfile.mkdtemp(prefix="j2ps_entry_")
+    pipeline.run_encode(spark, pages, out, n_chunks=4)
+    res = pipeline.verify_encoded(spark, pages, out)
+    manifest = spark.read.parquet(f"{out}/manifest")
+    return manifest.select(
+        "chunk_id", "column", "codec", "n_rows", "raw_bytes", "enc_bytes",
+        "checksum").withColumn("roundtrip_ok", F.lit(bool(res["ok"])))
+
+
+# --------------------------------------------------------------------------
+# oracle-checked queries
+
+
+def q_doc_stats(spark, sf):
+    return (_t(spark, sf, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources")))
+
+
+def q_token_stats(spark, sf):
+    from json_to_parquet_spark.functions.text import token_count
+    d = _t(spark, sf, "documents")
+    return (d.select("lang", token_count(F.col("text")).alias("tc"))
+            .groupBy("lang")
+            .agg(F.sum("tc").alias("total_tokens"),
+                 F.max("tc").alias("max_tokens"),
+                 F.min("tc").alias("min_tokens")))
+
+
+def q_fingerprint_dupes(spark, sf):
+    from json_to_parquet_spark.functions.text import fingerprint
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_unique"))
+
+
+def q_dup_cluster_hist(spark, sf):
+    from json_to_parquet_spark.operators.dedup import duplicate_clusters
+    cl = duplicate_clusters(_t(spark, sf, "documents"))
+    return (cl.groupBy("n_docs").agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
+def q_ngram_jaccard(spark, sf):
+    from json_to_parquet_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"),
+                                block_cols=["lang"], threshold=0.5,
+                                use_words=True)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jac4"))
+
+
+def q_lang_id_counts(spark, sf):
+    from json_to_parquet_spark.functions.text import lang_id
+    d = _t(spark, sf, "documents")
+    return (d.select(lang_id(F.col("text")).alias("lang_guess"))
+            .groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_quality_by_source(spark, sf):
+    from json_to_parquet_spark.functions.text import quality_score
+    d = _t(spark, sf, "documents")
+    return (d.select("source",
+                     F.floor(quality_score(F.col("text")) * 10000)
+                     .alias("q4"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("q4").alias("quality_sum")))
+
+
+def q_tpch_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+              * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+        .cast("decimal(28,4)").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order")))
+
+
+def q_revenue_by_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("revenue"),
+                  F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_top_order_per_customer(spark, sf):
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+
+def q_top_lineitems(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"),
+                       F.asc("l_linenumber"))
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .limit(10))
+
+
+def q_events_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.select("event_type",
+                     F.get_json_object("props", "$.k").cast("long").alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n"),
+                 F.min("k").alias("k_min"), F.max("k").alias("k_max")))
+
+
+def q_users_without_orders(spark, sf):
+    e = _t(spark, sf, "events").select("user_id").distinct()
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("user_id"))
+    return e.join(o, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_users"))
+
+
+def q_col_stats_lineitem(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.sum(F.when(F.col("l_discount").isNull(), 1).otherwise(0))
+        .alias("null_discounts"))
+
+
+def q_ann_topk(spark, sf):
+    from json_to_parquet_spark.operators.ann import brute_force_topk
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    top = brute_force_topk(emb, qv, k=5)
+    return top.select("vec_id", F.round("cosine", 6).alias("cos6"))
+
+
+def q_embedding_neardup(spark, sf):
+    from json_to_parquet_spark.operators.dedup import cosine_expr
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"),
+                     cosine_expr(F.col("a.v"), F.col("b.v")).alias("c")))
+    return (pairs.filter(F.col("c") >= 0.8)
+            .select("id_a", "id_b", F.round("c", 6).alias("cos6")))
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (no SQL oracle: hash-seeded / pipeline / stubbed ops)
+
+
+def q_minhash_candidates(spark, sf):
+    from json_to_parquet_spark.operators.dedup import minhash_lsh_candidates
+    return minhash_lsh_candidates(_t(spark, sf, "documents"))
+
+
+def q_minhash_dedup_kept(spark, sf):
+    from json_to_parquet_spark.operators.dedup import minhash_lsh_dedup
+    kept = minhash_lsh_dedup(_t(spark, sf, "documents"), threshold=0.6)
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_simhash_bands(spark, sf):
+    from json_to_parquet_spark.operators.dedup import simhash_neardup_pairs
+    return simhash_neardup_pairs(_t(spark, sf, "documents"))
+
+
+def q_embedding_neardup_lsh(spark, sf):
+    from json_to_parquet_spark.operators.dedup import embedding_neardup_pairs
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"),
+                                   threshold=0.95)
+
+
+def q_ann_lsh_topk(spark, sf):
+    from json_to_parquet_spark.operators.ann import lsh_topk
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    return lsh_topk(emb, qv, k=5, max_hamming=4)
+
+
+def q_ann_ivf_topk(spark, sf):
+    from json_to_parquet_spark.operators.ann import ivf_index, ivf_topk
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    assigned, cents = ivf_index(emb, n_centroids=8)
+    return ivf_topk(assigned, cents, qv, k=5, nprobe=3)
+
+
+def q_codec_selection(spark, sf):
+    from json_to_parquet_spark.operators.selector import choose_codecs
+    from json_to_parquet_spark.operators.stats import collect_stats
+    d = _t(spark, sf, "documents")
+    codecs = choose_codecs(collect_stats(d), d.schema)
+    return spark.createDataFrame(sorted(codecs.items()),
+                                 "column string, codec string")
+
+
+def q_encode_roundtrip(spark, sf):
+    from json_to_parquet_spark.operators.encode import (decode_chunks,
+                                                        encode_chunks,
+                                                        verify_roundtrip)
+    from json_to_parquet_spark.operators.selector import choose_codecs
+    from json_to_parquet_spark.operators.stats import collect_stats
+    d = _t(spark, sf, "documents")
+    codecs = choose_codecs(collect_stats(d), d.schema)
+    chunks = encode_chunks(d, "doc_id", codecs, n_chunks=4)
+    return verify_roundtrip(d, decode_chunks(chunks, d.schema), "doc_id")
+
+
+def q_chunk_stats(spark, sf):
+    from json_to_parquet_spark.operators.stats import byte_and_run_stats
+    d = _t(spark, sf, "documents")
+    return byte_and_run_stats(d, ["text", "lang", "source"]) \
+        .select("column", "n", "b0")
+
+
+def q_media_meta(spark, sf):
+    from json_to_parquet_spark.operators.multimodal import (extract_media_meta,
+                                                            synth_media)
+    media = synth_media(spark, 500)
+    return (extract_media_meta(media).groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_bytes").alias("bytes"),
+                 F.max("width").alias("max_w")))
+
+
+def q_frame_plan(spark, sf):
+    from json_to_parquet_spark.operators.multimodal import (frame_sample_plan,
+                                                            synth_media)
+    return frame_sample_plan(synth_media(spark, 300), every_n=24)
+
+
+def q_webpages_encode_manifest(spark, sf):
+    import tempfile
+
+    from json_to_parquet_spark.plans import pipeline
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    pages = synth_webpages(spark, 1000, seed=42)
+    out = tempfile.mkdtemp(prefix="j2ps_q_")
+    pipeline.run_encode(spark, pages, out, n_chunks=3)
+    return (spark.read.parquet(f"{out}/manifest")
+            .select("chunk_id", "column", "codec", "n_rows", "checksum"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # stats / text analysis (oracle-checked)
+        "q_doc_stats": q_doc_stats,
+        "q_token_stats": q_token_stats,
+        "q_fingerprint_dupes": q_fingerprint_dupes,
+        "q_dup_cluster_hist": q_dup_cluster_hist,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_lang_id_counts": q_lang_id_counts,
+        "q_quality_by_source": q_quality_by_source,
+        # relational coverage (oracle-checked)
+        "q_tpch_pricing": q_tpch_pricing,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_top_order_per_customer": q_top_order_per_customer,
+        "q_top_lineitems": q_top_lineitems,
+        "q_events_json": q_events_json,
+        "q_users_without_orders": q_users_without_orders,
+        "q_col_stats_lineitem": q_col_stats_lineitem,
+        # similarity (oracle-checked)
+        "q_ann_topk": q_ann_topk,
+        "q_embedding_neardup": q_embedding_neardup,
+        # rows-only (hash-seeded / pipeline / stubbed)
+        "q_minhash_candidates": q_minhash_candidates,
+        "q_minhash_dedup_kept": q_minhash_dedup_kept,
+        "q_simhash_bands": q_simhash_bands,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
+        "q_codec_selection": q_codec_selection,
+        "q_encode_roundtrip": q_encode_roundtrip,
+        "q_chunk_stats": q_chunk_stats,
+        "q_media_meta": q_media_meta,
+        "q_frame_plan": q_frame_plan,
+        "q_webpages_encode_manifest": q_webpages_encode_manifest,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+
+_STOP = "the|a|an|and|of|to|in|is|for|on|with|that|as|are|was|by"
+
+_TOKENS = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+_QUALITY = f"""
+  0.35 * (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1))
++ 0.25 * least(len(regexp_extract_all(lower(text), '\\b({_STOP})\\b')) * 1.0
+               / greatest({_TOKENS}, 1), 1.0)
++ 0.2 * (1.0 - least((len(regexp_extract_all(text, '[.!?,;:]')) * 1.0
+                      / greatest(length(text), 1)) * 5, 1.0))
++ 0.2 * least(greatest({_TOKENS}, 1) / 100.0, 1.0)
+"""
+
+_FP = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_doc_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents GROUP BY lang""",
+        "q_token_stats": f"""
+            SELECT lang,
+                   CAST(sum(tc) AS BIGINT) AS total_tokens,
+                   CAST(max(tc) AS BIGINT) AS max_tokens,
+                   CAST(min(tc) AS BIGINT) AS min_tokens
+            FROM (SELECT lang,
+                         CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE {_TOKENS} END AS tc
+                  FROM documents) GROUP BY lang""",
+        "q_fingerprint_dupes": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT {_FP}) AS BIGINT) AS n_unique
+            FROM documents""",
+        "q_dup_cluster_hist": f"""
+            SELECT n_docs, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (SELECT {_FP} AS fp, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY fp)
+            GROUP BY n_docs""",
+        "q_ngram_jaccard": r"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                         '\s+')) AS sh
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                     AS jac4
+            FROM s a JOIN s b
+              ON a.doc_id < b.doc_id AND a.lang = b.lang
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
+        "q_lang_id_counts": r"""
+            WITH g AS (
+              SELECT CASE
+                WHEN len(regexp_extract_all(text, '[\p{Hiragana}\p{Katakana}]')) * 1.0
+                     / greatest(length(text), 1) > 0.05 THEN 'ja'
+                WHEN len(regexp_extract_all(text, '\p{Han}')) * 1.0
+                     / greatest(length(text), 1) > 0.15 THEN 'zh'
+                WHEN len(regexp_extract_all(text, '\p{Hangul}')) * 1.0
+                     / greatest(length(text), 1) > 0.15 THEN 'ko'
+                WHEN len(regexp_extract_all(text, '\p{Cyrillic}')) * 1.0
+                     / greatest(length(text), 1) > 0.25 THEN 'ru'
+                WHEN len(regexp_extract_all(text, '\p{Arabic}')) * 1.0
+                     / greatest(length(text), 1) > 0.25 THEN 'ar'
+                WHEN len(regexp_extract_all(text, '\p{Greek}')) * 1.0
+                     / greatest(length(text), 1) > 0.25 THEN 'el'
+                WHEN len(regexp_extract_all(text, '\p{Hebrew}')) * 1.0
+                     / greatest(length(text), 1) > 0.25 THEN 'he'
+                WHEN len(regexp_extract_all(text, '\p{Thai}')) * 1.0
+                     / greatest(length(text), 1) > 0.25 THEN 'th'
+                WHEN len(regexp_extract_all(text, '\p{Latin}')) * 1.0
+                     / greatest(length(text), 1) > 0.3 THEN 'latin'
+                ELSE 'unknown' END AS lang_guess
+              FROM documents)
+            SELECT lang_guess, CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY lang_guess""",
+        "q_quality_by_source": f"""
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(q4) AS BIGINT) AS quality_sum
+            FROM (SELECT source, floor(({_QUALITY}) * 10000) AS q4
+                  FROM documents)
+            GROUP BY source""",
+        "q_tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "q_revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "q_top_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rn
+              FROM orders) WHERE rn = 1""",
+        "q_top_lineitems": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 10""",
+        "q_events_json": """
+            SELECT event_type,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(k) AS BIGINT) AS k_min,
+                   CAST(max(k) AS BIGINT) AS k_max
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type""",
+        "q_users_without_orders": """
+            SELECT CAST(count(*) AS BIGINT) AS n_users
+            FROM (SELECT DISTINCT user_id FROM events) e
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = e.user_id)""",
+        "q_col_stats_lineitem": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   min(l_shipdate) AS min_ship,
+                   max(l_shipdate) AS max_ship,
+                   CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_discounts
+            FROM lineitem""",
+        "q_ann_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product(q.qv, q.qv))) AS c
+              FROM embeddings e, q)
+            SELECT vec_id, round(c, 6) AS cos6
+            FROM scored ORDER BY c DESC, vec_id ASC LIMIT 5""",
+        "q_embedding_neardup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_inner_product(a.ev, b.ev)
+                         / (sqrt(list_inner_product(a.ev, a.ev))
+                            * sqrt(list_inner_product(b.ev, b.ev))), 6) AS cos6
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_inner_product(a.ev, b.ev)
+                  / (sqrt(list_inner_product(a.ev, a.ev))
+                     * sqrt(list_inner_product(b.ev, b.ev))) >= 0.8""",
+    }

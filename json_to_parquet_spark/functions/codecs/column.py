@@ -141,10 +141,11 @@ def _float_from_i64(ints: np.ndarray, lane: str) -> np.ndarray:
 # --- per-lane codec dispatch --------------------------------------------------
 
 
-def _encode_values(values: pa.Array, codec: str, lane: str):
+def _encode_values(values: pa.Array, codec: str, lane: str,
+                   params: dict | None = None):
     """→ (sections, codec_meta, actual_codec). Handles codec fallbacks."""
     if lane == "bytes":
-        return _encode_bytes(values, codec)
+        return _encode_bytes(values, codec, params)
     if lane in ("f32", "f64"):
         if codec in ("rle", "dict"):
             ints, _ = _float_view(values)
@@ -175,12 +176,35 @@ def _encode_values(values: pa.Array, codec: str, lane: str):
     return {"d": ints.astype(dtype).tobytes()}, {"n": len(ints)}, "plain"
 
 
-def _encode_bytes(values: pa.Array, codec: str):
+def _fsst_apply(data: bytes, symbols: list[bytes], codes: list[int]):
+    """Apply a shared (pass-1) symbol table to this chunk's blob.
+
+    Returns the compressed blob, or None if any code byte occurs in the
+    blob (the global free-code estimate came from a sample — collisions
+    are possible and must fall back to a chunk-local table)."""
+    if not data:
+        return None
+    counts = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
+    if any(counts[c] for c in codes):
+        return None
+    out = data
+    for sym, code in zip(symbols, codes):
+        out = out.replace(sym, bytes([code]))
+    return out if len(out) < len(data) else None
+
+
+def _encode_bytes(values: pa.Array, codec: str, params: dict | None = None):
     lengths, data = _bytes_lane(values)
     lsec, lmeta = for_encode(lengths)
     base_sections = {"l." + k: v for k, v in lsec.items()}
     if codec == "fsst":
-        enc = fsst.encode(data)
+        enc = None
+        if params and params.get("symbols"):
+            shared = _fsst_apply(data, params["symbols"], params["codes"])
+            if shared is not None:
+                enc = (shared, params["symbols"], params["codes"])
+        if enc is None:
+            enc = fsst.encode(data)  # chunk-local table (fallback path)
         if enc is not None:
             blob, symbols, codes = enc
             sym_lens = np.array([len(s) for s in symbols], dtype=np.int64)
@@ -281,9 +305,15 @@ def _cast_ints(ints: np.ndarray, target: pa.DataType) -> pa.Array:
 # --- public API ---------------------------------------------------------------
 
 
-def encode_column(arr, codec: str) -> tuple[bytes, dict]:
+def encode_column(arr, codec, params: dict | None = None) -> tuple[bytes, dict]:
     """Encode one column chunk. Returns (payload, meta); meta records the
-    codec actually used (fallbacks may downgrade, e.g. fsst→plain)."""
+    codec actually used (fallbacks may downgrade, e.g. fsst→plain).
+
+    `codec` may be a name or a codec-plan dict {"codec": name, ...shared
+    state} (e.g. a pass-1 FSST symbol table shared across chunks)."""
+    if isinstance(codec, dict):
+        params = codec
+        codec = codec["codec"]
     arr = _as_array(arr)
     n = len(arr)
     null_count = arr.null_count
@@ -302,7 +332,7 @@ def encode_column(arr, codec: str) -> tuple[bytes, dict]:
         meta["codec"] = "plain"
         meta["values"] = {"n": 0}
         return pack_sections(sections), meta
-    vsec, vmeta, actual = _encode_values(values, codec, lane)
+    vsec, vmeta, actual = _encode_values(values, codec, lane, params)
     sections.update(vsec)
     meta["codec"] = actual
     meta["values"] = vmeta

@@ -2,10 +2,12 @@
 
 One chunk = all rows with the same deterministic chunk id
 (`pmod(xxhash64(key), n_chunks)` — see operators/chunking.py). Chunks are
-encoded with `groupBy(chunk_id).applyInPandas`: each group arrives as one
-Arrow-backed pandas DataFrame, is sorted by key (so chunk payloads are
-bit-identical across runs and cluster sizes), and every column is encoded
-by the vectorized kernels in functions/codecs — zero per-row Python.
+encoded with `groupBy(chunk_id).applyInArrow`: each group arrives as one
+pyarrow Table (NO pandas bridge — the pandas path materializes a Python
+bytes object per value for string/binary columns, which dominated encode
+wall time), is sorted by key (so chunk payloads are bit-identical across
+runs and cluster sizes), and every column is encoded by the vectorized
+kernels in functions/codecs — zero per-row Python.
 
 Output: one row per (chunk_id, column) with the payload blob, codec
 actually used, JSON meta, sizes, sha256 checksum, and wall time — the
@@ -21,8 +23,8 @@ from __future__ import annotations
 import hashlib
 import time
 
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,11 +60,14 @@ _SPARK_TO_ARROW = {
 }
 
 
-def arrow_schema_for(schema: T.StructType) -> pa.Schema:
+def arrow_schema_for(schema: T.StructType, tz: str | None = None) -> pa.Schema:
+    """Arrow schema for a Spark schema. `tz` set = the Arrow-interchange
+    shape Spark expects from applyInArrow output (session-tz timestamps);
+    tz None = the naive shape the codec layer stores."""
     fields = []
     for f in schema.fields:
         if isinstance(f.dataType, T.TimestampType):
-            at = pa.timestamp("us")
+            at = pa.timestamp("us", tz=tz) if tz else pa.timestamp("us")
         else:
             at = _SPARK_TO_ARROW.get(type(f.dataType))
             if at is None:
@@ -71,58 +76,79 @@ def arrow_schema_for(schema: T.StructType) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _encode_group_fn(key_col: str, columns: list[str], codecs: dict[str, str],
+CHUNK_ARROW = [
+    ("chunk_id", pa.int32()), ("column", pa.string()), ("codec", pa.string()),
+    ("n_rows", pa.int64()), ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()), ("payload", pa.binary()),
+    ("meta", pa.string()), ("checksum", pa.string()),
+    ("wall_ms", pa.float64()),
+]
+
+
+def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
                      arrow_schema: pa.Schema):
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        chunk_id = int(pdf[CHUNK_COL].iloc[0])
-        pdf = pdf.sort_values(key_col, kind="mergesort")
-        table = pa.Table.from_pandas(
-            pdf[columns], schema=arrow_schema, preserve_index=False)
-        rows = []
+    out_fields = CHUNK_ARROW
+
+    def fn(table: pa.Table) -> pa.Table:
+        chunk_id = int(table.column(CHUNK_COL)[0].as_py())
+        order = pc.sort_indices(table.column(key_col))
+        table = table.take(order)
+        cols: dict[str, list] = {name: [] for name, _ in out_fields}
         for c in columns:
             t0 = time.perf_counter()
             arr = table.column(c).combine_chunks()
+            if arr.type != arrow_schema.field(c).type:
+                arr = arr.cast(arrow_schema.field(c).type)
             raw = sum(b.size for b in arr.buffers() if b is not None)
             payload, meta = encode_column(arr, codecs.get(c, "plain"))
-            rows.append((
-                chunk_id, c, meta["codec"], len(arr), int(raw), len(payload),
-                payload, meta_to_json(meta),
-                hashlib.sha256(payload).hexdigest(),
-                (time.perf_counter() - t0) * 1000.0,
-            ))
-        return pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA])
+            cols["chunk_id"].append(chunk_id)
+            cols["column"].append(c)
+            cols["codec"].append(meta["codec"])
+            cols["n_rows"].append(len(arr))
+            cols["raw_bytes"].append(int(raw))
+            cols["enc_bytes"].append(len(payload))
+            cols["payload"].append(payload)
+            cols["meta"].append(meta_to_json(meta))
+            cols["checksum"].append(hashlib.sha256(payload).hexdigest())
+            cols["wall_ms"].append((time.perf_counter() - t0) * 1000.0)
+        return pa.table(
+            {name: pa.array(cols[name], type=t) for name, t in out_fields})
     return fn
 
 
-def encode_chunks(df: DataFrame, key: str, codecs: dict[str, str],
+def encode_chunks(df: DataFrame, key: str, codecs: dict,
                   n_chunks: int) -> DataFrame:
-    """Encode `df` into per-(chunk, column) payload rows."""
+    """Encode `df` into per-(chunk, column) payload rows.
+
+    `codecs` maps column → codec name or codec-plan dict (shared state)."""
     columns = [f.name for f in df.schema.fields]
     aschema = arrow_schema_for(df.schema)
     chunked = with_chunk_id(df, key, n_chunks)
-    return chunked.groupBy(CHUNK_COL).applyInPandas(
+    return chunked.groupBy(CHUNK_COL).applyInArrow(
         _encode_group_fn(key, columns, codecs, aschema), schema=CHUNK_SCHEMA)
 
 
 def _decode_group_fn(schema: T.StructType, arrow_schema: pa.Schema):
     columns = [f.name for f in schema.fields]
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(table: pa.Table) -> pa.Table:
+        names = table.column("column").to_pylist()  # one entry per column
+        metas = table.column("meta").to_pylist()
+        payloads = table.column("payload").to_pylist()
         arrays = {}
-        for _, row in pdf.iterrows():
-            meta = meta_from_json(row["meta"])
-            arrays[row["column"]] = decode_column(bytes(row["payload"]), meta)
-        table = pa.table({c: arrays[c] for c in columns},
-                         schema=arrow_schema)
-        out = table.to_pandas(types_mapper=None)
-        return out
+        for name, meta_s, payload in zip(names, metas, payloads):
+            arrays[name] = decode_column(bytes(payload),
+                                         meta_from_json(meta_s))
+        return pa.table({c: arrays[c].cast(arrow_schema.field(c).type)
+                         for c in columns}, schema=arrow_schema)
     return fn
 
 
 def decode_chunks(chunks: DataFrame, schema: T.StructType) -> DataFrame:
     """Inverse of encode_chunks: encoded chunk rows → original-schema rows."""
-    aschema = arrow_schema_for(schema)
-    return chunks.groupBy("chunk_id").applyInPandas(
+    tz = chunks.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    aschema = arrow_schema_for(schema, tz=tz)
+    return chunks.groupBy("chunk_id").applyInArrow(
         _decode_group_fn(schema, aschema), schema=schema)
 
 

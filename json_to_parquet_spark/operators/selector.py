@@ -59,3 +59,38 @@ def choose_codecs(stats_by_col: dict[str, dict],
     dtypes = {f.name: f.dataType for f in schema.fields}
     return {c: choose_codec(s, dtypes[c]) for c, s in stats_by_col.items()
             if c in dtypes}
+
+
+def build_codec_plan(stats_by_col: dict[str, dict], schema: T.StructType,
+                     codecs: dict[str, str] | None = None) -> dict[str, dict]:
+    """Full codec-decision manifest: per column, the codec plus any shared
+    encoder state. For FSST columns the symbol table is built ONCE here
+    from the pass-1 sample blob (instead of once per chunk — the per-chunk
+    build was the dominant fixed cost at high chunk counts) and shipped to
+    executors inside the encode closure. Free code bytes come from the
+    global sampled byte-usage bitmap; each chunk re-verifies them against
+    its own bytes and falls back to a local table on (rare) collision.
+    """
+    import numpy as np
+
+    from ..functions.codecs import fsst
+    from .stats import longs_to_bitmask
+
+    if codecs is None:
+        codecs = choose_codecs(stats_by_col, schema)
+    plan: dict[str, dict] = {}
+    for c, codec in codecs.items():
+        entry: dict = {"codec": codec}
+        if codec == "fsst":
+            s = stats_by_col.get(c, {})
+            blob = s.get("sample_blob")
+            words = s.get("byte_bitmap")
+            if blob and words:
+                used = longs_to_bitmask(words)
+                free = [int(i) for i in np.flatnonzero(~used)]
+                symbols, codes = fsst.build_symbol_table(blob, free)
+                if symbols:
+                    entry["symbols"] = symbols
+                    entry["codes"] = codes
+        plan[c] = entry
+    return plan

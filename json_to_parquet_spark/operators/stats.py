@@ -52,9 +52,14 @@ def _bitmap_to_longs(used: np.ndarray) -> list[int]:
     return [int(w) for w in bits.view(np.int64)]
 
 
-def longs_to_bitcount(words: list[int]) -> int:
+def longs_to_bitmask(words: list[int]) -> np.ndarray:
+    """4 int64 words → 256-bool byte-usage mask (True = byte observed)."""
     arr = np.array(words, dtype=np.int64).view(np.uint8)
-    return int(np.unpackbits(arr).sum())
+    return np.unpackbits(arr, bitorder="little").astype(bool)
+
+
+def longs_to_bitcount(words: list[int]) -> int:
+    return int(longs_to_bitmask(words).sum())
 
 
 def _batch_stats_fn(columns: list[str], bytes_cols: set[str]):
@@ -135,17 +140,29 @@ def global_column_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+SAMPLE_BLOB_VALUES = 400      # values per bytes-column for the driver sample
+SAMPLE_BLOB_BYTES = 256 << 10  # cap per column
+
+
 def collect_stats(df: DataFrame, columns: list[str] | None = None,
-                  sample_fraction: float = 1.0, seed: int = 42) -> dict:
+                  sample_fraction: float = 1.0, seed: int = 42,
+                  with_sample_blob: bool = True) -> dict:
     """Run both collectors, merge into {column: stats_dict} on the driver.
 
     stats_dict keys: rows, non_null, distinct, avg_len, min, max,
-    avg_run, distinct_bytes, top_byte_frac.
+    avg_run, distinct_bytes, top_byte_frac, byte_bitmap (4 int64 words),
+    and — for string/binary columns — sample_blob (a bounded driver-side
+    byte sample used to build shared codec state, e.g. FSST symbol
+    tables, once per column instead of once per chunk).
     """
     if columns is None:
         columns = [f.name for f in df.schema.fields]
+    cached = False
     if sample_fraction < 1.0:
-        df = df.sample(fraction=sample_fraction, seed=seed)
+        # three collectors read the sample — cache it once instead of
+        # re-scanning (and re-sampling) the source per collector
+        df = df.sample(fraction=sample_fraction, seed=seed).cache()
+        cached = True
     g = global_column_stats(df, columns).collect()[0].asDict()
     out: dict[str, dict] = {}
     for c in columns:
@@ -161,8 +178,29 @@ def collect_stats(df: DataFrame, columns: list[str] | None = None,
         d = r.asDict()
         c = d["column"]
         out[c]["avg_run"] = d["n"] / max(1, d["changes"])
-        out[c]["distinct_bytes"] = longs_to_bitcount(
-            [d["b0"], d["b1"], d["b2"], d["b3"]])
+        out[c]["byte_bitmap"] = [d["b0"], d["b1"], d["b2"], d["b3"]]
+        out[c]["distinct_bytes"] = longs_to_bitcount(out[c]["byte_bitmap"])
         out[c]["top_byte_frac"] = (
             d["top_byte_cnt"] / d["sampled_bytes"] if d["sampled_bytes"] else 0.0)
+    if with_sample_blob:
+        bytes_cols = [f.name for f in df.schema.fields
+                      if isinstance(f.dataType, _BYTES_TYPES)
+                      and f.name in columns]
+        if bytes_cols:
+            rows = df.select(*bytes_cols).limit(SAMPLE_BLOB_VALUES).collect()
+            for c in bytes_cols:
+                parts, total = [], 0
+                for r in rows:
+                    v = r[c]
+                    if v is None:
+                        continue
+                    b = v.encode("utf-8", "surrogatepass") \
+                        if isinstance(v, str) else bytes(v)
+                    parts.append(b)
+                    total += len(b)
+                    if total >= SAMPLE_BLOB_BYTES:
+                        break
+                out[c]["sample_blob"] = b"".join(parts)[:SAMPLE_BLOB_BYTES]
+    if cached:
+        df.unpersist()
     return out

@@ -39,8 +39,30 @@ from pyspark.sql import types as T
 
 from ..operators.chunking import CHUNK_COL, with_chunk_id
 from ..operators.encode import decode_chunks, encode_chunks, verify_roundtrip
-from ..operators.selector import choose_codecs
+from ..operators.selector import build_codec_plan, choose_codecs
 from ..operators.stats import collect_stats
+
+
+def _plan_to_json(plan: dict[str, dict]) -> dict:
+    out = {}
+    for c, e in plan.items():
+        j = {"codec": e["codec"]}
+        if "symbols" in e:
+            j["symbols"] = [s.hex() for s in e["symbols"]]
+            j["codes"] = list(e["codes"])
+        out[c] = j
+    return out
+
+
+def _plan_from_json(j: dict) -> dict[str, dict]:
+    plan = {}
+    for c, e in j.items():
+        p = {"codec": e["codec"]}
+        if "symbols" in e:
+            p["symbols"] = [bytes.fromhex(s) for s in e["symbols"]]
+            p["codes"] = list(e["codes"])
+        plan[c] = p
+    return plan
 
 _TYPE_WIDTHS = {"bigint": 8, "double": 8, "int": 4, "float": 4, "boolean": 1,
                 "timestamp": 8, "date": 4}
@@ -93,22 +115,48 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     columns = [f.name for f in src.schema.fields]
 
-    # --- pass 1: stats + codec decision (skipped when caller pins codecs)
-    stats = collect_stats(src, sample_fraction=sample_fraction)
-    if codecs is None:
-        codecs = choose_codecs(stats, src.schema)
-    rows_sampled = next(iter(stats.values()))["rows"] if stats else 0
-    est_rows = int(rows_sampled / max(sample_fraction, 1e-9)) if sample_fraction < 1.0 else rows_sampled
-    if n_chunks is None:
-        est_bytes = est_rows * _estimate_row_bytes(src.schema, stats)
-        n_chunks = max(1, math.ceil(est_bytes / target_chunk_bytes))
+    # --- resume: an existing table_meta pins the whole codec plan AND
+    # n_chunks (chunk membership is a function of n_chunks — changing it
+    # mid-table would orphan completed chunks), and skips pass 1 entirely.
+    existing = None
+    if resume and os.path.exists(_meta_file(out_dir)):
+        with open(_meta_file(out_dir)) as fh:
+            existing = json.load(fh)
 
-    # persist table meta (schema + decisions) for decode/read_encoded
-    with open(_meta_file(out_dir), "w") as fh:
-        json.dump({"schema": src.schema.json(), "key": key,
-                   "n_chunks": n_chunks, "codecs": codecs,
-                   "stats": {c: {k: v for k, v in s.items()}
-                             for c, s in stats.items()}}, fh, default=str)
+    stats_wall = 0.0
+    if existing is not None:
+        codecs = existing["codecs"]
+        plan = _plan_from_json(existing["codec_plan"])
+        n_chunks = existing["n_chunks"]
+    else:
+        # --- pass 1: sampled stats → codec decision + shared encoder state
+        t_stats = time.perf_counter()
+        stats = collect_stats(src, sample_fraction=sample_fraction)
+        if codecs is None:
+            codecs = choose_codecs(stats, src.schema)
+        plan = build_codec_plan(stats, src.schema, codecs)
+        stats_wall = time.perf_counter() - t_stats
+        rows_sampled = next(iter(stats.values()))["rows"] if stats else 0
+        est_rows = (int(rows_sampled / max(sample_fraction, 1e-9))
+                    if sample_fraction < 1.0 else rows_sampled)
+        if n_chunks is None:
+            est_bytes = est_rows * _estimate_row_bytes(src.schema, stats)
+            # floor at 4x the cluster parallelism: chunks land in shuffle
+            # partitions by hash, so with n_chunks ≈ cores balls-in-bins
+            # collisions serialize several chunks per core while others
+            # idle; ~4 chunks/task keeps all cores busy and statistically
+            # balanced (at 100 TB the bytes term dominates anyway)
+            n_chunks = max(1, 4 * spark.sparkContext.defaultParallelism,
+                           math.ceil(est_bytes / target_chunk_bytes))
+        # persist table meta (schema + full codec-decision manifest)
+        with open(_meta_file(out_dir), "w") as fh:
+            json.dump({"schema": src.schema.json(), "key": key,
+                       "n_chunks": n_chunks, "codecs": codecs,
+                       "codec_plan": _plan_to_json(plan),
+                       "stats": {c: {k: v for k, v in s.items()
+                                     if k != "sample_blob"}
+                                 for c, s in stats.items()}},
+                      fh, default=str)
 
     # --- resume: restrict to incomplete chunks
     done = completed_chunks(spark, out_dir, len(columns)) if resume else []
@@ -123,12 +171,18 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
 
     # --- pass 2: encode + persist chunk store
     # encode_chunks re-derives the (identical) chunk id itself
-    chunks = encode_chunks(chunked.drop(CHUNK_COL), key, codecs, n_chunks)
+    t_encode = time.perf_counter()
+    chunks = encode_chunks(chunked.drop(CHUNK_COL), key, plan, n_chunks)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic partition overwrite on chunk_id: a resumed run replaces only
+    # the chunk directories it re-encodes. Each chunk's rows sit in one
+    # task (grouped by chunk id), so the store is one file per chunk.
     (chunks.write.mode("overwrite").partitionBy("chunk_id")
            .parquet(_chunks_path(out_dir)))
+    encode_wall = time.perf_counter() - t_encode
 
     # --- manifest append (lineage + metrics checkpoint, no payloads)
+    t_manifest = time.perf_counter()
     run_id = uuid.uuid4().hex[:12]
     written = spark.read.parquet(_chunks_path(out_dir))
     if done:
@@ -156,6 +210,9 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
         "enc_bytes": int(agg["enc_bytes"] or 0),
         "codecs": codecs,
         "wall_s": time.perf_counter() - t0,
+        "stats_s": round(stats_wall, 3),
+        "encode_s": round(encode_wall, 3),
+        "manifest_s": round(time.perf_counter() - t_manifest, 3),
     }
     with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as fh:
         json.dump(metrics, fh)
