@@ -37,6 +37,11 @@ def main() -> int:
 
     spark = get_spark(app="bench", cores=cpus, shuffle_partitions=cpus)
 
+    # warm up JVM + parquet reader + python workers so the first timed
+    # query doesn't absorb session cold-start
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    spark.range(10000).selectExpr("sum(id)").collect()
+
     qs = entry.queries()
     bench_queries = [
         "q_doc_stats", "q_token_stats", "q_fingerprint_dupes",

@@ -28,6 +28,11 @@ def get_spark(app: str = "json_to_parquet_spark", cores: int | None = None,
     # Python workers are separate processes: make this package importable
     # there regardless of the driver's cwd (cluster deploys use
     # `spark-submit --py-files` instead; see cli.py).
+    # Python workers churn multi-MB allocations (codec blobs); keep glibc
+    # from mmap/munmap-ing each one (TLB shootdowns serialize at high
+    # core counts — measured ~25% kernel-wall inflation at 32 workers)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prev = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in prev.split(os.pathsep):
@@ -47,6 +52,14 @@ def get_spark(app: str = "json_to_parquet_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # local mode: all executor threads share one machine disk, so shuffle
+    # through tmpfs when available — on a real cluster shuffle I/O is
+    # per-node NVMe/network and scales with node count
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

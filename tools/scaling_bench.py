@@ -1,0 +1,119 @@
+"""Two-parallelism scaling benchmark — the sandbox stand-in for the north
+rule's "N vs 4N executors, throughput scaling efficiency >= 0.8".
+
+Runs the identical encode job (same input rows, same codec plan, same
+n_chunks) at local[8] and local[32] in separate JVMs and reports encode
+GB/s at both plus efficiency = (T_8 / T_32) / 4. Results go to
+BENCH.md.
+
+Usage: python tools/scaling_bench.py [rows] (default 4_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+LEVELS = (8, 32)
+N_CHUNKS = 256
+
+_CHILD = r"""
+import sys, time, tempfile, json
+sys.path.insert(0, {repo!r})
+cores = {cores}
+rows = {rows}
+from json_to_parquet_spark.session import get_spark
+from json_to_parquet_spark.sources.webpages import synth_webpages
+from json_to_parquet_spark.operators.stats import collect_stats
+from json_to_parquet_spark.operators.selector import build_codec_plan
+from json_to_parquet_spark.operators.encode import encode_chunks
+import pyspark.sql.functions as F
+spark = get_spark(app=f"scale{{cores}}", cores=cores, shuffle_partitions=cores)
+pages = synth_webpages(spark, rows, seed=42, partitions=64).persist()
+n = pages.count()
+plan = build_codec_plan(collect_stats(pages, sample_fraction=0.02), pages.schema)
+# warm-up: spin up python workers so the measured trial isn't cold
+encode_chunks(pages.limit(20000), "url", plan, n_chunks=cores).count()
+best = None
+tmp_root = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
+for trial in range(2):
+    out = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir=tmp_root)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t0 = time.perf_counter()
+    chunks = encode_chunks(pages, "url", plan, n_chunks={n_chunks})
+    chunks.write.mode("overwrite").partitionBy("chunk_id").parquet(out + "/chunks")
+    wall = time.perf_counter() - t0
+    if best is None or wall < best:
+        best = wall
+m = spark.read.parquet(out + "/chunks").agg(
+    F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).collect()[0]
+print("RESULT " + json.dumps({{
+    "cores": cores, "rows": n, "wall_s": round(best, 2),
+    "raw_bytes": int(m.r), "enc_bytes": int(m.e),
+    "gb_per_s": round(m.r / best / 1e9, 4)}}))
+"""
+
+
+def run_level(cores: int) -> dict:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _CHILD.format(repo=repo, cores=cores, rows=ROWS, n_chunks=N_CHUNKS)
+    env = dict(os.environ)
+    # pin the WHOLE process tree (JVM + python workers) to `cores` CPUs —
+    # local[8] alone would still spread JVM/worker threads over all 32
+    # CPUs, which is not what an 8-core cluster node looks like
+    cmd = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True,
+                         text=True, env=env, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+    raise RuntimeError(f"no RESULT from cores={cores}")
+
+
+def main() -> int:
+    results = {c: run_level(c) for c in LEVELS}
+    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
+    speedup = lo["wall_s"] / hi["wall_s"]
+    eff = speedup / (LEVELS[1] / LEVELS[0])
+    report = {
+        "rows": ROWS, "n_chunks": N_CHUNKS, "levels": results,
+        "speedup": round(speedup, 2), "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+    md = f"""# BENCH — encode scaling evidence (N vs 4N parallelism)
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors; sandbox stand-in = identical encode job at local[{LEVELS[0]}]
+vs local[{LEVELS[1]}] on the same input (deterministic synthetic
+web-pages table, {ROWS:,} rows, {lo['raw_bytes']/1e9:.2f} GB raw Arrow
+bytes, n_chunks={N_CHUNKS}, identical codec plan; best of 2 trials,
+measured stage = chunk encode + chunk-store write).
+
+| parallelism | wall s | encode GB/s |
+|---|---|---|
+| local[{LEVELS[0]}] (N) | {lo['wall_s']} | {lo['gb_per_s']} |
+| local[{LEVELS[1]}] (4N) | {hi['wall_s']} | {hi['gb_per_s']} |
+
+**Speedup {LEVELS[0]}->{LEVELS[1]} cores: {speedup:.2f}x -> scaling
+efficiency {eff:.3f}** (criterion >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Compression on this input: {lo['raw_bytes']/max(1,lo['enc_bytes']):.2f}x
+(raw {lo['raw_bytes']:,} B -> encoded {lo['enc_bytes']:,} B).
+
+Hardware: this sandbox (32 logical CPUs, single JVM local mode, shuffle
+partitions = cores). Reproduce: `python tools/scaling_bench.py {ROWS}`.
+"""
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH.md"), "w") as fh:
+        fh.write(md)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
