@@ -1,0 +1,70 @@
+"""Structured Streaming surface.
+
+The north rule's resumability story is batch (per-partition manifest
+checkpoints, plans/pipeline.py), but the engine also exposes a streaming
+ingest path for continuously-arriving web pages:
+
+  readStream (json / parquet dir)
+    → foreachBatch: run_encode(batch) into the SAME chunk store
+      (the manifest makes re-delivered micro-batches idempotent at the
+      chunk level; checkpointLocation makes the stream itself resumable)
+
+plus a classic watermark + tumbling-window aggregation over the events
+table shape, demonstrating late-data handling with built-in operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WEBPAGE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def encode_stream(spark: SparkSession, src_dir: str, out_dir: str,
+                  checkpoint_dir: str, fmt: str = "parquet",
+                  n_chunks: int = 64, trigger_once: bool = True):
+    """Stream web pages from a directory into the encoded chunk store.
+
+    Each micro-batch runs the (resumable) batch pipeline with a pinned
+    chunk count; chunk ids are content-addressed (url hash), so chunks
+    are overwritten deterministically if a batch is replayed. Returns the
+    StreamingQuery."""
+    from ..plans.pipeline import run_encode
+
+    reader = spark.readStream.format(fmt).schema(WEBPAGE_SCHEMA)
+    stream = reader.load(src_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_encode(batch_df.sparkSession, batch_df, out_dir,
+                   n_chunks=n_chunks, resume=False, sample_fraction=0.5)
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 minute",
+                          watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation (works on a batch OR
+    streaming DataFrame with (ts, event_type, value))."""
+    # event-time ops need TIMESTAMP (ltz); parquet sources may infer NTZ
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("value_sum"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n", "value_sum"))

@@ -1,0 +1,79 @@
+"""Physical-plan hygiene (SURVEY §4.2): predicate pushdown, column
+pruning, broadcast joins, whole-stage codegen, and shuffle counts —
+asserted on .explain output so regressions in plan shape fail CI."""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (li.filter(F.col("l_quantity") > 45)
+           .select("l_orderkey", "l_quantity"))
+    plan = plan_of(q)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters")[1][:200]
+    # projection pruned to the two referenced columns at the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_for_small_dim(spark):
+    import __spark_entry__ as e
+    plan = plan_of(e.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_aggregation(spark):
+    import __spark_entry__ as e
+    df = e.q_tpch_pricing(spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    codegen = plan_of(df, mode="codegen")
+    assert "WholeStageCodegen" in codegen
+
+
+def test_encode_plan_single_shuffle(spark):
+    """The encode pipeline must shuffle exactly once (the chunk-id hash
+    partition) — no hidden extra exchange."""
+    from json_to_parquet_spark.operators.encode import encode_chunks
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    pages = synth_webpages(spark, 1000, partitions=8)
+    chunks = encode_chunks(pages, "url", {"text": "fsst"}, n_chunks=4)
+    plan = plan_of(chunks, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    # single-partition input: Catalyst elides the exchange entirely
+    one = encode_chunks(synth_webpages(spark, 200, partitions=1), "url",
+                        {"text": "plain"}, n_chunks=2)
+    assert plan_of(one, mode="simple").count("Exchange") == 0
+
+
+def test_topk_uses_partial_limit(spark):
+    """orderBy().limit(k) must plan TakeOrderedAndProject, not a full
+    global sort."""
+    import __spark_entry__ as e
+    plan = plan_of(e.q_top_lineitems(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_partial_aggregation(spark):
+    """MinHash signature aggregation must do map-side partial aggregation
+    (shuffle carries per-doc partials, not exploded shingles)."""
+    from json_to_parquet_spark.operators.dedup import minhash_signatures
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs), mode="simple")
+    first_agg = plan.rindex("HashAggregate")  # bottom-most = map side
+    assert "partial_min" in plan[first_agg:first_agg + 4000] or \
+        plan.count("HashAggregate") >= 2

@@ -1,0 +1,111 @@
+"""Unit tests: codec selector rules, stats collectors, codec plan build,
+shared-FSST collision fallback, and reference-parity ingest semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import types as T
+
+from json_to_parquet_spark.functions.codecs import fsst
+from json_to_parquet_spark.functions.codecs.column import (decode_column,
+                                                           encode_column)
+from json_to_parquet_spark.operators.selector import (build_codec_plan,
+                                                      choose_codec,
+                                                      choose_codecs)
+from json_to_parquet_spark.operators.stats import collect_stats
+
+
+def test_selector_rules():
+    long_t, str_t = T.LongType(), T.StringType()
+    assert choose_codec({"rows": 1000, "non_null": 1000, "distinct": 5,
+                         "avg_run": 10.0}, long_t) == "rle"
+    assert choose_codec({"rows": 1000, "non_null": 1000, "distinct": 50,
+                         "avg_run": 1.0}, long_t) == "dict"
+    assert choose_codec({"rows": 1000, "non_null": 1000, "distinct": 900,
+                         "avg_run": 1.0}, long_t) == "for"
+    assert choose_codec({"rows": 1000, "non_null": 1000, "distinct": 10,
+                         "avg_run": 1.0}, str_t) == "dict"
+    assert choose_codec({"rows": 1000, "non_null": 1000, "distinct": 950,
+                         "avg_run": 1.0, "distinct_bytes": 80,
+                         "top_byte_frac": 0.1}, str_t) == "fsst"
+    assert choose_codec({"rows": 1000, "non_null": 1000, "distinct": 950,
+                         "avg_run": 1.0, "distinct_bytes": 256,
+                         "top_byte_frac": 0.004}, str_t) == "plain"
+
+
+def test_collect_stats_values(spark):
+    df = spark.createDataFrame(
+        [(i, "x" * 10, None if i % 2 else float(i)) for i in range(100)],
+        "a long, s string, f double")
+    stats = collect_stats(df)
+    assert stats["a"]["rows"] == 100 and stats["a"]["non_null"] == 100
+    assert stats["f"]["non_null"] == 50
+    assert stats["s"]["avg_len"] == 10.0
+    assert stats["s"]["distinct"] == 1
+    assert stats["s"]["avg_run"] > 10  # constant column = one long run
+    assert stats["s"]["distinct_bytes"] == 1
+    assert stats["s"]["sample_blob"].startswith(b"xxxx")
+    assert stats["a"]["min"] == "0" and stats["a"]["max"] == "99"
+
+
+def test_codec_plan_builds_shared_fsst(spark):
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox " * 20) for i in range(500)],
+        "id long, text string")
+    stats = collect_stats(df)
+    codecs = choose_codecs(stats, df.schema)
+    plan = build_codec_plan(stats, df.schema, codecs)
+    if plan["text"]["codec"] == "fsst":
+        assert plan["text"].get("symbols"), "shared table expected"
+        assert len(plan["text"]["symbols"]) == len(plan["text"]["codes"])
+
+
+def test_shared_table_collision_falls_back():
+    """A chunk containing a 'free' code byte must not be corrupted: the
+    encoder detects the collision and builds a chunk-local table."""
+    text = b"the quick brown fox jumps over the dog " * 200
+    free = fsst.free_code_bytes(text)
+    symbols, codes = fsst.build_symbol_table(text, free)
+    assert symbols
+    # poison: a value containing the first shared code byte
+    poison = bytes([codes[0]]) + b"the quick brown fox"
+    vals = [text.decode()] * 50 + [poison.decode("latin1")]
+    arr = pa.array(vals)
+    payload, meta = encode_column(
+        arr, {"codec": "fsst", "symbols": symbols, "codes": codes})
+    assert decode_column(payload, meta).equals(arr)
+
+
+def test_shared_table_applies_when_clean():
+    text = b"columnar lightweight compression engine " * 100
+    free = fsst.free_code_bytes(text)
+    symbols, codes = fsst.build_symbol_table(text, free)
+    arr = pa.array([text.decode()] * 20)
+    payload, meta = encode_column(
+        arr, {"codec": "fsst", "symbols": symbols, "codes": codes})
+    assert meta["codec"] == "fsst"
+    assert len(payload) < sum(len(v) for v in arr.to_pylist())
+    assert decode_column(payload, meta).equals(arr)
+
+
+def test_ingest_reference_semantics(spark, tmp_path):
+    """FIXTURES.md F2: widening, all-null drop, nested-array flattening,
+    empty-struct nullification (reference src/JsonFactory.java behaviors)."""
+    from json_to_parquet_spark.sources import ingest
+    p = tmp_path / "docs.json"
+    p.write_text(
+        '{"a": 1, "b": 2.5, "c": "s", "d": true, "e": null}\n'
+        '{"a": 3.0, "c": "t", "e": null}\n'
+        '{"g": {"x": 1, "y": [1, 2, 3]}, "arr": [{"k": 1}, {"k": 2}]}\n'
+        '{"g": {"x": null}, "empty": {}}\n'
+        '{"nested": [[1, 2], [3]], "mixed": [1, 2.5, 3]}\n')
+    df = ingest.ingest_json(spark, str(p))
+    dt = dict(df.dtypes)
+    assert dt["a"] == "double"          # long→double widening
+    assert "e" not in dt                # always-NULL dropped
+    assert dt["mixed"] == "array<double>"  # in-array widening
+    flat = ingest.flatten_nested_arrays(df)
+    assert dict(flat.dtypes)["nested"] == "array<bigint>"
+    fixed = ingest.empty_structs_to_null(flat)
+    g_vals = [r.g for r in fixed.select("g").collect()]
+    assert None in g_vals               # {"x": null} struct → NULL

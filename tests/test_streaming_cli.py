@@ -1,0 +1,66 @@
+"""Streaming ingest + CLI smoke tests."""
+
+import json
+import subprocess
+import sys
+
+import pyspark.sql.functions as F
+
+from json_to_parquet_spark.plans import pipeline
+from json_to_parquet_spark.streaming import (encode_stream,
+                                             windowed_event_counts)
+
+
+def test_streaming_encode(spark, tmp_path):
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    src = str(tmp_path / "in")
+    pages = synth_webpages(spark, 3000, seed=9)
+    pages.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "enc")
+    q = encode_stream(spark, src, out, str(tmp_path / "ckpt"), n_chunks=8)
+    q.awaitTermination(timeout=300)
+    decoded = pipeline.read_encoded(spark, out)
+    assert decoded.count() == 3000
+    assert pipeline.verify_encoded(spark, pages, out)["ok"]
+
+
+def test_windowed_event_counts(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    res = windowed_event_counts(ev, window="1 hour")
+    rows = res.collect()
+    assert sum(r.n for r in rows) == ev.count()
+    # windows are aligned hours
+    assert all(r.window_start.minute == 0 for r in rows)
+
+
+def test_streaming_windowed_from_stream(spark, tmp_path):
+    """Same aggregation through an actual readStream source."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema).parquet(src))
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = (agg.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout=300)
+    total = spark.sql("select sum(n) as s from wincounts").collect()[0].s
+    assert total == ev.count()
+
+
+def test_cli_end_to_end(tmp_path):
+    env_script = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from json_to_parquet_spark.cli import main
+import json
+root = {str(tmp_path)!r}
+assert main(["--cores", "8", "gen", root + "/pages", "--rows", "2000"]) == 0
+assert main(["encode", root + "/pages", root + "/enc"]) == 0
+assert main(["verify", root + "/pages", root + "/enc"]) == 0
+assert main(["decode", root + "/enc", root + "/back"]) == 0
+print("CLI_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", env_script],
+                         capture_output=True, text=True, timeout=900)
+    assert "CLI_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
