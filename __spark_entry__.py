@@ -154,6 +154,25 @@ def q_top_lineitems(spark, sf):
             .limit(10))
 
 
+def q_rollup_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("total")))
+
+
+def q_pivot_status_counts(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .alias("n_filled"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+        .alias("n_pending")))
+
+
 def q_events_json(spark, sf):
     e = _t(spark, sf, "events")
     return (e.select("event_type",
@@ -316,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_top_order_per_customer": q_top_order_per_customer,
         "q_top_lineitems": q_top_lineitems,
+        "q_rollup_orders": q_rollup_orders,
+        "q_pivot_status_counts": q_pivot_status_counts,
         "q_events_json": q_events_json,
         "q_users_without_orders": q_users_without_orders,
         "q_col_stats_lineitem": q_col_stats_lineitem,
@@ -457,6 +478,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
             LIMIT 10""",
+        "q_rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(28,2)) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "q_pivot_status_counts": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_open,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_filled,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pending
+            FROM orders GROUP BY o_orderpriority""",
         "q_events_json": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS k_sum,

@@ -74,6 +74,12 @@ def main() -> int:
 
     gbps = metrics["raw_bytes"] / max(encode_s, 1e-9) / 1e9
     total = round(sum(timings.values()), 3)
+    scaling = None
+    scaling_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools", "scaling_result.json")
+    if os.path.exists(scaling_file):
+        with open(scaling_file) as fh:
+            scaling = json.load(fh)
     print(json.dumps({
         "metric": "headline_queries_plus_encode_wall",
         "value": total,
@@ -89,6 +95,7 @@ def main() -> int:
             "compression_ratio": round(
                 metrics["raw_bytes"] / max(metrics["enc_bytes"], 1), 3),
             "codecs": metrics["codecs"],
+            "scaling_evidence": scaling,
         },
     }))
     return 0

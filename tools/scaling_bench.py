@@ -86,6 +86,9 @@ def main() -> int:
         "speedup": round(speedup, 2), "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(report))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "tools", "scaling_result.json"), "w") as fh:
+        json.dump(report, fh)
     md = f"""# BENCH — encode scaling evidence (N vs 4N parallelism)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
