@@ -154,6 +154,15 @@ def q_top_lineitems(spark, sf):
             .limit(10))
 
 
+def q_salted_lang_counts(spark, sf):
+    """Two-stage salted aggregation over the skewed `lang` key — must
+    produce exactly the same counts as a plain GROUP BY (the oracle)."""
+    from json_to_parquet_spark.operators.chunking import salted_count
+    d = _t(spark, sf, "documents")
+    return salted_count(d, "lang", "doc_id", buckets=16) \
+        .select("lang", F.col("cnt").cast("long").alias("cnt"))
+
+
 def q_rollup_orders(spark, sf):
     o = _t(spark, sf, "orders")
     return (o.rollup("o_orderpriority", "o_orderstatus")
@@ -335,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_top_order_per_customer": q_top_order_per_customer,
         "q_top_lineitems": q_top_lineitems,
+        "q_salted_lang_counts": q_salted_lang_counts,
         "q_rollup_orders": q_rollup_orders,
         "q_pivot_status_counts": q_pivot_status_counts,
         "q_events_json": q_events_json,
@@ -478,6 +488,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
             LIMIT 10""",
+        "q_salted_lang_counts": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY lang""",
         "q_rollup_orders": """
             SELECT o_orderpriority, o_orderstatus,
                    CAST(count(*) AS BIGINT) AS n_orders,

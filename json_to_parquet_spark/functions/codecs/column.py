@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 
 from . import fsst
 from .bitutil import pack_sections, pack_validity, unpack_sections, unpack_validity
-from .intcodec import for_decode, for_encode, rle_decode, rle_encode
+from .intcodec import (delta_decode, for_decode, for_encode, rle_decode,
+                       rle_encode)
 
 CODECS = ("plain", "for", "rle", "dict", "fsst")
 
@@ -166,9 +167,8 @@ def _encode_values(values: pa.Array, codec: str, lane: str,
     if codec == "rle":
         sec, m = rle_encode(ints)
         return sec, m, "rle"
-    if codec in ("for", "fsst"):  # fsst on ints degrades to FOR
-        sec, m = for_encode(ints)
-        return sec, m, "for"
+    if codec in ("for", "fsst", "delta"):  # fsst on ints degrades to FOR
+        return _encode_ints_narrowest(ints)
     if codec == "dict":
         return _encode_dict(values, lane)
     # plain: raw little-endian at the column's native width
@@ -223,12 +223,43 @@ def _encode_bytes(values: pa.Array, codec: str, params: dict | None = None):
     return sections, {"n": int(len(lengths)), "lens": lmeta}, "plain"
 
 
+def _encode_ints_narrowest(ints: np.ndarray):
+    """FOR vs DELTA, whichever bit-packs narrower (delta wins on locally
+    sorted data, which the chunk row permutation arranges — see
+    operators/encode.py)."""
+    from .bitutil import bit_width
+    from .intcodec import delta_encode
+
+    def packed_width(vals: np.ndarray) -> int:
+        # same wraparound-safe math as for_encode: (v - min) mod 2^64
+        rel = vals.view(np.uint64) - np.uint64(
+            int(vals.min()) & 0xFFFFFFFFFFFFFFFF)
+        return bit_width(int(rel.max()))
+
+    if len(ints) >= 2:
+        u = ints.view(np.uint64)
+        deltas = (u[1:] - u[:-1]).view(np.int64)
+        if packed_width(deltas) < packed_width(ints):
+            sec, m = delta_encode(ints)
+            return sec, m, "delta"
+    sec, m = for_encode(ints)
+    return sec, m, "for"
+
+
 def _encode_dict(values: pa.Array, lane: str, rle_codes: bool = False):
     dict_arr = _as_array(values).dictionary_encode()
     if isinstance(dict_arr, pa.ChunkedArray):
         dict_arr = dict_arr.combine_chunks()
     codes = dict_arr.indices.cast(pa.int64()).to_numpy(zero_copy_only=False)
     dictionary = dict_arr.dictionary
+    requested_rle = rle_codes
+    if not rle_codes and len(codes) >= 16:
+        # chunk rows are permuted by low-cardinality columns first
+        # (operators/encode.py), so dict codes often form long runs —
+        # RLE them when that wins (both candidates are O(n) on ints)
+        from .intcodec import runs_of
+        n_runs = len(runs_of(codes)[0])
+        rle_codes = n_runs * 2 < len(codes) // 4
     if rle_codes:
         csec, cmeta = rle_encode(codes)
     else:
@@ -236,7 +267,7 @@ def _encode_dict(values: pa.Array, lane: str, rle_codes: bool = False):
     dpayload, dmeta = encode_column(dictionary, "plain")
     sections = {"c." + k: v for k, v in csec.items()}
     sections["dict"] = dpayload
-    name = "rle" if rle_codes else "dict"
+    name = "rle" if requested_rle else "dict"
     return sections, {"n": int(len(codes)), "codes": cmeta, "dict": dmeta,
                       "codes_rle": rle_codes}, name
 
@@ -284,6 +315,8 @@ def _decode_values(sections, meta: dict, codec: str, target: pa.DataType,
         ints = rle_decode(sections, meta)
     elif codec == "for":
         ints = for_decode(sections, meta)
+    elif codec == "delta":
+        ints = delta_decode(sections, meta)
     else:  # plain
         dtype = _INT_WIDTHS.get(str(target), np.int64)
         ints = np.frombuffer(sections.get("d", b""), dtype=dtype,

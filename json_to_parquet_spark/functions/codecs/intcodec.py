@@ -43,6 +43,42 @@ def for_decode(sections: dict[str, bytes], meta: dict) -> np.ndarray:
     return (deltas + np.uint64(meta["ref"] & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
 
 
+# --- delta (+FOR+bitpack) -----------------------------------------------------
+
+
+def delta_encode(vals: np.ndarray) -> tuple[dict[str, bytes], dict]:
+    """First value + FOR-packed consecutive deltas (wraparound-safe).
+
+    Wins over plain FOR when values are locally sorted — which the chunk
+    encoder arranges by permuting rows (sort by low-cardinality columns,
+    then timestamps; see operators/encode.py). Classic RLE/permutation
+    synergy (cf. 'Column Partition and Permutation for Run Length
+    Encoding', SIGMOD 2020)."""
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(vals)
+    if n == 0:
+        return {}, {"n": 0, "first": 0, "deltas": {"n": 0, "ref": 0,
+                                                   "width": 0}}
+    u = vals.view(np.uint64)
+    deltas = (u[1:] - u[:-1]).view(np.int64)  # mod 2^64 → exact inverse
+    dsec, dmeta = for_encode(deltas)
+    return ({"d." + k: v for k, v in dsec.items()},
+            {"n": n, "first": int(vals[0]), "deltas": dmeta})
+
+
+def delta_decode(sections: dict[str, bytes], meta: dict) -> np.ndarray:
+    n = meta["n"]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    dsec = {k[2:]: v for k, v in sections.items() if k.startswith("d.")}
+    deltas = for_decode(dsec, meta["deltas"]).view(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = np.uint64(meta["first"] & 0xFFFFFFFFFFFFFFFF)
+    np.cumsum(deltas, out=out[1:], dtype=np.uint64)
+    out[1:] += out[0]
+    return out.view(np.int64)
+
+
 # --- run-length encoding ------------------------------------------------------
 
 

@@ -86,12 +86,18 @@ CHUNK_ARROW = [
 
 
 def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
-                     arrow_schema: pa.Schema):
+                     arrow_schema: pa.Schema, sort_cols: list[str]):
     out_fields = CHUNK_ARROW
+    sort_keys = [(c, "ascending") for c in sort_cols]
 
     def fn(table: pa.Table) -> pa.Table:
         chunk_id = int(table.column(CHUNK_COL)[0].as_py())
-        order = pc.sort_indices(table.column(key_col))
+        # deterministic chunk-local row permutation: low-cardinality
+        # columns first (→ long runs for RLE/dict), then
+        # timestamps/ints (→ narrow deltas), unique key last as the
+        # total-order tiebreak (cf. column-permutation-for-RLE,
+        # SIGMOD 2020)
+        order = pc.sort_indices(table, sort_keys=sort_keys)
         table = table.take(order)
         cols: dict[str, list] = {name: [] for name, _ in out_fields}
         for c in columns:
@@ -117,15 +123,20 @@ def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
 
 
 def encode_chunks(df: DataFrame, key: str, codecs: dict,
-                  n_chunks: int) -> DataFrame:
+                  n_chunks: int, sort_cols: list[str] | None = None
+                  ) -> DataFrame:
     """Encode `df` into per-(chunk, column) payload rows.
 
-    `codecs` maps column → codec name or codec-plan dict (shared state)."""
+    `codecs` maps column → codec name or codec-plan dict (shared state).
+    `sort_cols` is the chunk-local row permutation (key appended as the
+    unique tiebreak; default = key only)."""
     columns = [f.name for f in df.schema.fields]
     aschema = arrow_schema_for(df.schema)
+    sort_cols = [c for c in (sort_cols or []) if c != key] + [key]
     chunked = with_chunk_id(df, key, n_chunks)
     return chunked.groupBy(CHUNK_COL).applyInArrow(
-        _encode_group_fn(key, columns, codecs, aschema), schema=CHUNK_SCHEMA)
+        _encode_group_fn(key, columns, codecs, aschema, sort_cols),
+        schema=CHUNK_SCHEMA)
 
 
 def _decode_group_fn(schema: T.StructType, arrow_schema: pa.Schema):

@@ -61,6 +61,32 @@ def choose_codecs(stats_by_col: dict[str, dict],
             if c in dtypes}
 
 
+_SORTABLE_NUM = (T.TimestampType, T.LongType, T.IntegerType, T.DateType,
+                 T.ShortType, T.ByteType)
+
+
+def choose_sort_order(stats_by_col: dict[str, dict], schema: T.StructType,
+                      key: str) -> list[str]:
+    """Chunk-local row permutation: low-cardinality columns (ascending
+    distinct count) → integer/timestamp columns → key (unique tiebreak).
+    Sorting chunk rows this way turns categorical columns into long runs
+    (RLE) and makes numeric/timestamp columns locally sorted (DELTA),
+    at zero correctness cost — any deterministic total order is valid."""
+    cats: list[tuple[int, str]] = []
+    nums: list[str] = []
+    for f in schema.fields:
+        if f.name == key:
+            continue
+        s = stats_by_col.get(f.name, {})
+        d = s.get("distinct")
+        if d is not None and d <= 4096 and \
+                not isinstance(f.dataType, T.BinaryType):
+            cats.append((int(d), f.name))
+        elif isinstance(f.dataType, _SORTABLE_NUM):
+            nums.append(f.name)
+    return [c for _, c in sorted(cats)] + nums + [key]
+
+
 def build_codec_plan(stats_by_col: dict[str, dict], schema: T.StructType,
                      codecs: dict[str, str] | None = None) -> dict[str, dict]:
     """Full codec-decision manifest: per column, the codec plus any shared

@@ -39,7 +39,8 @@ from pyspark.sql import types as T
 
 from ..operators.chunking import CHUNK_COL, with_chunk_id
 from ..operators.encode import decode_chunks, encode_chunks, verify_roundtrip
-from ..operators.selector import build_codec_plan, choose_codecs
+from ..operators.selector import (build_codec_plan, choose_codecs,
+                                  choose_sort_order)
 from ..operators.stats import collect_stats
 
 
@@ -128,6 +129,7 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
         codecs = existing["codecs"]
         plan = _plan_from_json(existing["codec_plan"])
         n_chunks = existing["n_chunks"]
+        sort_order = existing.get("sort_order", [key])
     else:
         # --- pass 1: sampled stats → codec decision + shared encoder state
         t_stats = time.perf_counter()
@@ -135,6 +137,7 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
         if codecs is None:
             codecs = choose_codecs(stats, src.schema)
         plan = build_codec_plan(stats, src.schema, codecs)
+        sort_order = choose_sort_order(stats, src.schema, key)
         stats_wall = time.perf_counter() - t_stats
         rows_sampled = next(iter(stats.values()))["rows"] if stats else 0
         est_rows = (int(rows_sampled / max(sample_fraction, 1e-9))
@@ -153,6 +156,7 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
             json.dump({"schema": src.schema.json(), "key": key,
                        "n_chunks": n_chunks, "codecs": codecs,
                        "codec_plan": _plan_to_json(plan),
+                       "sort_order": sort_order,
                        "stats": {c: {k: v for k, v in s.items()
                                      if k != "sample_blob"}
                                  for c, s in stats.items()}},
@@ -172,7 +176,8 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     # --- pass 2: encode + persist chunk store
     # encode_chunks re-derives the (identical) chunk id itself
     t_encode = time.perf_counter()
-    chunks = encode_chunks(chunked.drop(CHUNK_COL), key, plan, n_chunks)
+    chunks = encode_chunks(chunked.drop(CHUNK_COL), key, plan, n_chunks,
+                           sort_cols=sort_order)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # dynamic partition overwrite on chunk_id: a resumed run replaces only
     # the chunk directories it re-encodes. Each chunk's rows sit in one
