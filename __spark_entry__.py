@@ -219,6 +219,16 @@ def q_ann_topk(spark, sf):
     return top.select("vec_id", F.round("cosine", 6).alias("cos6"))
 
 
+def q_ann_batch_topk(spark, sf):
+    from json_to_parquet_spark.operators.ann import batch_topk
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.filter("vec_id < 4")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    top = batch_topk(emb, queries, k=3)
+    return top.select("q_id", "vec_id", F.round("cosine", 6).alias("cos6"))
+
+
 def q_embedding_neardup(spark, sf):
     from json_to_parquet_spark.operators.dedup import cosine_expr
     emb = _t(spark, sf, "embeddings").select(
@@ -352,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_col_stats_lineitem": q_col_stats_lineitem,
         # similarity (oracle-checked)
         "q_ann_topk": q_ann_topk,
+        "q_ann_batch_topk": q_ann_batch_topk,
         "q_embedding_neardup": q_embedding_neardup,
         # rows-only (hash-seeded / pipeline / stubbed)
         "q_minhash_candidates": q_minhash_candidates,
@@ -544,6 +555,24 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, q)
             SELECT vec_id, round(c, 6) AS cos6
             FROM scored ORDER BY c DESC, vec_id ASC LIMIT 5""",
+        "q_ann_batch_topk": """
+            WITH q AS (SELECT vec_id AS q_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_inner_product(q.qv, q.qv))) AS c
+              FROM embeddings e, q),
+            ranked AS (
+              SELECT q_id, vec_id, c,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY c DESC, vec_id ASC) AS rn
+              FROM scored)
+            SELECT q_id, vec_id, round(c, 6) AS cos6
+            FROM ranked WHERE rn <= 3""",
         "q_embedding_neardup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
                        FROM embeddings)

@@ -75,6 +75,27 @@ def _qsig(query_vec, planes: np.ndarray) -> int:
     return int(padded.view(np.int64)[0])
 
 
+def batch_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k for a whole query SET in one job: broadcast the
+    query table, score every (row, query) pair JVM-side, keep top-k per
+    query with a window (rank ties broken by id — deterministic).
+
+    At scale: queries are broadcast (small side), the corpus is scanned
+    once, and the window's partial top-k runs map-side before the
+    per-query shuffle."""
+    from pyspark.sql import Window
+    scored = (df.join(F.broadcast(queries))
+              .select(F.col(q_id_col), F.col(id_col),
+                      cosine_expr(F.col(vec_col).cast("array<double>"),
+                                  F.col(q_vec_col).cast("array<double>"))
+                      .alias("cosine")))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
 def choose_centroids(df: DataFrame, n_centroids: int,
                      vec_col: str = "embedding", id_col: str = "vec_id"
                      ) -> np.ndarray:

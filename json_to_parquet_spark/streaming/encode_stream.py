@@ -55,6 +55,50 @@ def encode_stream(spark: SparkSession, src_dir: str, out_dir: str,
     return writer.start()
 
 
+def dedup_stream(pages: DataFrame, key: str = "url",
+                 buckets: int = 64) -> DataFrame:
+    """Custom STATEFUL streaming operator: drop rows whose key was already
+    seen in ANY earlier micro-batch (exactly-once ingest de-duplication).
+
+    Implementation: `applyInPandasWithState` over hash buckets of the key
+    — state per bucket is the set of xxhash64(key) values seen so far
+    (stored as one binary int64 blob; numpy set-union per batch, no
+    per-row Python). Grouping by bucket (not by key) keeps state objects
+    coarse: ~`buckets` state rows total instead of one per key."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = pages.schema
+    state_schema = "seen binary"
+
+    hashed = pages.withColumn("__kh", F.xxhash64(F.col(key))) \
+                  .withColumn("__bucket",
+                              F.pmod(F.col("__kh"), F.lit(buckets)))
+
+    cols = [f.name for f in pages.schema.fields]
+
+    def fn(key_tuple, pdfs, state):
+        seen = np.frombuffer(state.get[0], dtype=np.int64) \
+            if state.exists else np.empty(0, dtype=np.int64)
+        for pdf in pdfs:
+            kh = pdf["__kh"].to_numpy()
+            fresh_mask = ~np.isin(kh, seen)
+            # also drop duplicates within the batch itself (keep first)
+            first_idx = pd.Series(kh).duplicated().to_numpy()
+            keep = fresh_mask & ~first_idx
+            seen = np.union1d(seen, kh[keep])
+            if keep.any():
+                yield pdf.loc[keep, cols]
+        state.update((seen.tobytes(),))
+
+    return (hashed.groupBy("__bucket")
+            .applyInPandasWithState(fn, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 minute",
                           watermark: str = "2 minutes") -> DataFrame:
     """Watermarked tumbling-window aggregation (works on a batch OR

@@ -49,6 +49,40 @@ def test_streaming_windowed_from_stream(spark, tmp_path):
     assert total == ev.count()
 
 
+def test_stateful_dedup_stream(spark, tmp_path):
+    """Cross-batch stateful dedup: batch 2 re-delivers half of batch 1;
+    the re-delivered rows must be dropped, new rows kept."""
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    from json_to_parquet_spark.streaming import dedup_stream
+    src = str(tmp_path / "in")
+    b = synth_webpages(spark, 1500, seed=5).cache()    # full set
+    a = b.filter(F.pmod(F.xxhash64("url"), F.lit(3)) != 0)  # ~2/3 subset
+    n_a = a.count()
+    a.write.mode("overwrite").parquet(src)             # batch 1
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (dedup_stream(spark.readStream.schema(a.schema).parquet(src))
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout=300)
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == n_a
+    assert got1.select("url").distinct().count() == n_a
+
+    # batch 2: full set re-delivered (subset overlap + the new third)
+    b.write.mode("append").parquet(src)
+    run_once()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 1500, got2.count()  # re-delivered rows dropped
+    assert got2.select("url").distinct().count() == 1500
+
+
 def test_cli_end_to_end(tmp_path):
     env_script = f"""
 import sys; sys.path.insert(0, "/root/repo")
