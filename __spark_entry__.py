@@ -34,21 +34,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Encode pipeline end-to-end on synthetic web pages (input_hint shape)
-    at sf0.001 scale; returns manifest rows + verification flag."""
+    """Flagship: the two-pass encode pipeline end-to-end, twice —
+    (a) on the sf0.001 `documents` table, (b) on the deterministic
+    synthetic web-pages table (BASELINE input_hint shape, which the
+    testdata set lacks). Returns the combined manifests with per-table
+    round-trip verification flags."""
     import tempfile
 
     from json_to_parquet_spark.plans import pipeline
     from json_to_parquet_spark.sources.webpages import synth_webpages
 
+    def run(src: DataFrame, key: str, tag: str) -> DataFrame:
+        out = tempfile.mkdtemp(prefix=f"j2ps_entry_{tag}_")
+        pipeline.run_encode(spark, src, out, key=key, n_chunks=4)
+        ok = pipeline.verify_encoded(spark, src, out)["ok"]
+        return (spark.read.parquet(f"{out}/manifest")
+                .select("chunk_id", "column", "codec", "n_rows",
+                        "raw_bytes", "enc_bytes", "checksum")
+                .withColumn("table", F.lit(tag))
+                .withColumn("roundtrip_ok", F.lit(bool(ok))))
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
     pages = synth_webpages(spark, 2000, seed=42)
-    out = tempfile.mkdtemp(prefix="j2ps_entry_")
-    pipeline.run_encode(spark, pages, out, n_chunks=4)
-    res = pipeline.verify_encoded(spark, pages, out)
-    manifest = spark.read.parquet(f"{out}/manifest")
-    return manifest.select(
-        "chunk_id", "column", "codec", "n_rows", "raw_bytes", "enc_bytes",
-        "checksum").withColumn("roundtrip_ok", F.lit(bool(res["ok"])))
+    return run(docs, "doc_id", "documents").unionByName(
+        run(pages, "url", "webpages"))
 
 
 # --------------------------------------------------------------------------

@@ -18,9 +18,17 @@ CHUNK_COL = "__chunk_id"
 
 
 def with_chunk_id(df: DataFrame, key: str, n_chunks: int) -> DataFrame:
-    """Attach the deterministic chunk id column."""
+    """Attach the deterministic chunk id column.
+
+    NULL keys land in chunk 0 (xxhash64 of NULL is NULL — coalesced so
+    such rows are still encoded rather than silently grouped apart).
+    For bit-reproducible chunk payloads the key should be UNIQUE per row
+    (it is the sort tiebreak; duplicate keys make intra-chunk order of
+    those rows arbitrary — correct but not checksum-stable)."""
     return df.withColumn(
-        CHUNK_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)).cast("int")
+        CHUNK_COL,
+        F.coalesce(F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)),
+                   F.lit(0)).cast("int")
     )
 
 

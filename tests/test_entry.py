@@ -11,8 +11,9 @@ def test_entry_flagship(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r.roundtrip_ok for r in rows)
-    assert {r.column for r in rows} == {"url", "warc_ts", "html", "text",
-                                        "lang"}
+    cols = {r.column for r in rows}
+    assert {"url", "warc_ts", "html", "text", "lang"} <= cols  # webpages
+    assert {"doc_id", "n_chars", "source"} <= cols             # documents
 
 
 def test_queries_all_run_sf0001(spark):
