@@ -369,10 +369,23 @@ def encode_column(arr, codec, params: dict | None = None) -> tuple[bytes, dict]:
     sections.update(vsec)
     meta["codec"] = actual
     meta["values"] = vmeta
-    return pack_sections(sections), meta
+    payload = pack_sections(sections)
+    # optional cascade: general-purpose compression over the lightweight
+    # encoding, for sinks without their own block compression (the parquet
+    # chunk store already applies snappy, so this is off by default)
+    if params and params.get("post") == "deflate":
+        import zlib
+        compressed = zlib.compress(payload, 6)
+        if len(compressed) < len(payload):
+            meta["post"] = "deflate"
+            payload = compressed
+    return payload, meta
 
 
 def decode_column(payload: bytes, meta: dict) -> pa.Array:
+    if meta.get("post") == "deflate":
+        import zlib
+        payload = zlib.decompress(payload)
     sections = unpack_sections(payload)
     target = type_from_str(meta["dtype"])
     n = meta["n_rows"]

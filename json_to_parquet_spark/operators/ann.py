@@ -122,13 +122,41 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def refine_centroids(df: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding", iters: int = 2
+                     ) -> np.ndarray:
+    """Distributed Lloyd iterations: assign (vectorized matmul) →
+    per-list mean via posexplode + groupBy(list, dim) partial aggregation
+    — the shuffle carries only n_centroids x dim partial sums. At 10^12
+    docs this runs on a sample; centroids stay driver-sized."""
+    dim = centroids.shape[1]
+    for _ in range(iters):
+        assigned = df.withColumn("list_id",
+                                 _assign_udf(centroids)(F.col(vec_col)))
+        means = (assigned
+                 .select("list_id", F.posexplode(vec_col).alias("dim", "v"))
+                 .groupBy("list_id", "dim").agg(F.avg("v").alias("m"))
+                 .collect())
+        new = centroids.copy()
+        sums: dict[int, np.ndarray] = {}
+        for r in means:
+            sums.setdefault(r.list_id, np.zeros(dim))[r.dim] = r.m
+        for lid, vec in sums.items():
+            new[lid] = vec
+        centroids = new
+    return centroids
+
+
 def ivf_index(df: DataFrame, n_centroids: int = 16,
-              vec_col: str = "embedding", id_col: str = "vec_id"
-              ) -> tuple[DataFrame, np.ndarray]:
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              refine_iters: int = 0) -> tuple[DataFrame, np.ndarray]:
     """Build the IVF assignment: (df + `list_id` column, centroids).
-    At scale the assigned table is written back partitioned by list_id so
-    probes touch only nprobe/n_centroids of the data."""
+    `refine_iters` > 0 runs distributed Lloyd refinement on the sampled
+    seed centroids. At scale the assigned table is written back
+    partitioned by list_id so probes touch only nprobe/n_centroids."""
     cents = choose_centroids(df, n_centroids, vec_col, id_col)
+    if refine_iters:
+        cents = refine_centroids(df, cents, vec_col, refine_iters)
     assigned = df.withColumn("list_id", _assign_udf(cents)(F.col(vec_col)))
     return assigned, cents
 

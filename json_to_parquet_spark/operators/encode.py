@@ -68,6 +68,8 @@ def arrow_schema_for(schema: T.StructType, tz: str | None = None) -> pa.Schema:
     for f in schema.fields:
         if isinstance(f.dataType, T.TimestampType):
             at = pa.timestamp("us", tz=tz) if tz else pa.timestamp("us")
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            at = pa.timestamp("us")  # NTZ interchanges tz-naive
         else:
             at = _SPARK_TO_ARROW.get(type(f.dataType))
             if at is None:

@@ -51,6 +51,8 @@ def _plan_to_json(plan: dict[str, dict]) -> dict:
         if "symbols" in e:
             j["symbols"] = [s.hex() for s in e["symbols"]]
             j["codes"] = list(e["codes"])
+        if "post" in e:
+            j["post"] = e["post"]
         out[c] = j
     return out
 
@@ -62,6 +64,8 @@ def _plan_from_json(j: dict) -> dict[str, dict]:
         if "symbols" in e:
             p["symbols"] = [bytes.fromhex(s) for s in e["symbols"]]
             p["codes"] = list(e["codes"])
+        if "post" in e:
+            p["post"] = e["post"]
         plan[c] = p
     return plan
 
@@ -110,7 +114,8 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
                key: str = "url", codecs: dict[str, str] | None = None,
                n_chunks: int | None = None, sample_fraction: float = 0.25,
                target_chunk_bytes: int = 32 << 20, resume: bool = True,
-               max_chunks_this_run: int | None = None) -> dict:
+               max_chunks_this_run: int | None = None,
+               post_compress: str | None = None) -> dict:
     """Run (or resume) the encode pipeline. Returns run metrics."""
     t0 = time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
@@ -137,6 +142,9 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
         if codecs is None:
             codecs = choose_codecs(stats, src.schema)
         plan = build_codec_plan(stats, src.schema, codecs)
+        if post_compress:
+            for entry in plan.values():
+                entry["post"] = post_compress
         sort_order = choose_sort_order(stats, src.schema, key)
         stats_wall = time.perf_counter() - t_stats
         rows_sampled = next(iter(stats.values()))["rows"] if stats else 0

@@ -109,3 +109,17 @@ def test_ingest_reference_semantics(spark, tmp_path):
     fixed = ingest.empty_structs_to_null(flat)
     g_vals = [r.g for r in fixed.select("g").collect()]
     assert None in g_vals               # {"x": null} struct → NULL
+
+
+def test_deflate_cascade_roundtrip(spark, tmp_path):
+    """Optional post-compression on top of the lightweight codecs."""
+    from json_to_parquet_spark.plans import pipeline
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    pages = synth_webpages(spark, 1500, seed=13)
+    out = str(tmp_path / "enc")
+    m = pipeline.run_encode(spark, pages, out, n_chunks=3,
+                            post_compress="deflate")
+    plain = str(tmp_path / "plainenc")
+    m2 = pipeline.run_encode(spark, pages, plain, n_chunks=3)
+    assert m["enc_bytes"] < m2["enc_bytes"]
+    assert pipeline.verify_encoded(spark, pages, out)["ok"]
