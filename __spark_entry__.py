@@ -29,6 +29,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make json_to_parquet_spark importable inside Python workers of ANY
+    SparkSession (the driver harness builds its own session without this
+    repo on the workers' path). addPyFile distributes a zip of the
+    package and extends worker sys.path at runtime."""
+    if getattr(spark, "_j2ps_shipped", False):
+        return
+    import os
+    import sys
+    import tempfile
+    import zipfile
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    pkg = os.path.join(repo, "json_to_parquet_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "json_to_parquet_spark.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, repo))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    spark._j2ps_shipped = True
+
+
 # --------------------------------------------------------------------------
 # flagship
 
@@ -43,6 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from json_to_parquet_spark.plans import pipeline
     from json_to_parquet_spark.sources.webpages import synth_webpages
+
+    _ship_package(spark)
 
     def run(src: DataFrame, key: str, tag: str) -> DataFrame:
         out = tempfile.mkdtemp(prefix=f"j2ps_entry_{tag}_")
@@ -200,6 +232,40 @@ def q_events_json(spark, sf):
                  F.min("k").alias("k_min"), F.max("k").alias("k_max")))
 
 
+def q_sessionize_events(spark, sf):
+    """Sessionization: a >30-minute gap starts a new session (lag window
+    + conditional sum) — per-user session and event counts."""
+    from pyspark.sql import Window
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsec = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch s (UTC)
+    gap = tsec - F.lag(tsec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (e.withColumn("ns", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("ns").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_corpus_pipeline(spark, sf):
+    """Training-data pipeline composition: quality filter → exact dedup
+    (min doc_id per fingerprint) → per-language token/char stats."""
+    from json_to_parquet_spark.functions.text import (fingerprint,
+                                                      quality_score,
+                                                      token_count)
+    d = _t(spark, sf, "documents")
+    scored = d.select("doc_id", "lang", "text",
+                      quality_score(F.col("text")).alias("q"),
+                      fingerprint(F.col("text")).alias("fp"),
+                      token_count(F.col("text")).alias("tc"))
+    kept = scored.filter(F.col("q") >= 0.5)
+    reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(reps, ["fp", "doc_id"], "inner")
+    return (deduped.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tc").alias("total_tokens")))
+
+
 def q_users_without_orders(spark, sf):
     e = _t(spark, sf, "events").select("user_id").distinct()
     o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("user_id"))
@@ -348,44 +414,54 @@ def q_webpages_encode_manifest(spark, sf):
             .select("chunk_id", "column", "codec", "n_rows", "checksum"))
 
 
+def _shipped(fn):
+    def wrapped(spark, sf):
+        _ship_package(spark)
+        return fn(spark, sf)
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # stats / text analysis (oracle-checked)
-        "q_doc_stats": q_doc_stats,
-        "q_token_stats": q_token_stats,
-        "q_fingerprint_dupes": q_fingerprint_dupes,
-        "q_dup_cluster_hist": q_dup_cluster_hist,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_lang_id_counts": q_lang_id_counts,
-        "q_quality_by_source": q_quality_by_source,
+        "q_doc_stats": _shipped(q_doc_stats),
+        "q_token_stats": _shipped(q_token_stats),
+        "q_fingerprint_dupes": _shipped(q_fingerprint_dupes),
+        "q_dup_cluster_hist": _shipped(q_dup_cluster_hist),
+        "q_ngram_jaccard": _shipped(q_ngram_jaccard),
+        "q_lang_id_counts": _shipped(q_lang_id_counts),
+        "q_quality_by_source": _shipped(q_quality_by_source),
         # relational coverage (oracle-checked)
-        "q_tpch_pricing": q_tpch_pricing,
-        "q_revenue_by_nation": q_revenue_by_nation,
-        "q_top_order_per_customer": q_top_order_per_customer,
-        "q_top_lineitems": q_top_lineitems,
-        "q_salted_lang_counts": q_salted_lang_counts,
-        "q_rollup_orders": q_rollup_orders,
-        "q_pivot_status_counts": q_pivot_status_counts,
-        "q_events_json": q_events_json,
-        "q_users_without_orders": q_users_without_orders,
-        "q_col_stats_lineitem": q_col_stats_lineitem,
+        "q_tpch_pricing": _shipped(q_tpch_pricing),
+        "q_revenue_by_nation": _shipped(q_revenue_by_nation),
+        "q_top_order_per_customer": _shipped(q_top_order_per_customer),
+        "q_top_lineitems": _shipped(q_top_lineitems),
+        "q_salted_lang_counts": _shipped(q_salted_lang_counts),
+        "q_rollup_orders": _shipped(q_rollup_orders),
+        "q_pivot_status_counts": _shipped(q_pivot_status_counts),
+        "q_events_json": _shipped(q_events_json),
+        "q_sessionize_events": _shipped(q_sessionize_events),
+        "q_corpus_pipeline": _shipped(q_corpus_pipeline),
+        "q_users_without_orders": _shipped(q_users_without_orders),
+        "q_col_stats_lineitem": _shipped(q_col_stats_lineitem),
         # similarity (oracle-checked)
-        "q_ann_topk": q_ann_topk,
-        "q_ann_batch_topk": q_ann_batch_topk,
-        "q_embedding_neardup": q_embedding_neardup,
+        "q_ann_topk": _shipped(q_ann_topk),
+        "q_ann_batch_topk": _shipped(q_ann_batch_topk),
+        "q_embedding_neardup": _shipped(q_embedding_neardup),
         # rows-only (hash-seeded / pipeline / stubbed)
-        "q_minhash_candidates": q_minhash_candidates,
-        "q_minhash_dedup_kept": q_minhash_dedup_kept,
-        "q_simhash_bands": q_simhash_bands,
-        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "q_ann_lsh_topk": q_ann_lsh_topk,
-        "q_ann_ivf_topk": q_ann_ivf_topk,
-        "q_codec_selection": q_codec_selection,
-        "q_encode_roundtrip": q_encode_roundtrip,
-        "q_chunk_stats": q_chunk_stats,
-        "q_media_meta": q_media_meta,
-        "q_frame_plan": q_frame_plan,
-        "q_webpages_encode_manifest": q_webpages_encode_manifest,
+        "q_minhash_candidates": _shipped(q_minhash_candidates),
+        "q_minhash_dedup_kept": _shipped(q_minhash_dedup_kept),
+        "q_simhash_bands": _shipped(q_simhash_bands),
+        "q_embedding_neardup_lsh": _shipped(q_embedding_neardup_lsh),
+        "q_ann_lsh_topk": _shipped(q_ann_lsh_topk),
+        "q_ann_ivf_topk": _shipped(q_ann_ivf_topk),
+        "q_codec_selection": _shipped(q_codec_selection),
+        "q_encode_roundtrip": _shipped(q_encode_roundtrip),
+        "q_chunk_stats": _shipped(q_chunk_stats),
+        "q_media_meta": _shipped(q_media_meta),
+        "q_frame_plan": _shipped(q_frame_plan),
+        "q_webpages_encode_manifest": _shipped(q_webpages_encode_manifest),
     }
 
 
@@ -537,6 +613,30 @@ def oracle_sql() -> dict[str, str]:
                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)
             GROUP BY event_type""",
+        "q_sessionize_events": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev IS NULL OR tsec - prev > 1800
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id""",
+        "q_corpus_pipeline": f"""
+            WITH scored AS (
+              SELECT doc_id, lang, ({_QUALITY}) AS q, {_FP} AS fp,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE {_TOKENS} END AS tc
+              FROM documents),
+            kept AS (SELECT * FROM scored WHERE q >= 0.5),
+            reps AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tc) AS BIGINT) AS total_tokens
+            FROM kept JOIN reps USING (fp, doc_id)
+            GROUP BY lang""",
         "q_users_without_orders": """
             SELECT CAST(count(*) AS BIGINT) AS n_users
             FROM (SELECT DISTINCT user_id FROM events) e
