@@ -44,14 +44,15 @@ def _ship_package(spark: SparkSession) -> None:
     if repo not in sys.path:
         sys.path.insert(0, repo)
     pkg = os.path.join(repo, "json_to_parquet_spark")
-    zpath = os.path.join(tempfile.gettempdir(), "json_to_parquet_spark.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, repo))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"json_to_parquet_spark_{os.getpid()}.zip")
+    # always rebuild: a stale zip from an earlier run would ship old code
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:

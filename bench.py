@@ -70,6 +70,13 @@ def main() -> int:
     encode_s = time.perf_counter() - t0
     timings["q_encode_pipeline"] = round(encode_s, 3)
     pages.unpersist()
+
+    # decode throughput: chunk store → full table materialization
+    t0 = time.perf_counter()
+    n_dec = pipeline.read_encoded(spark, out).count()
+    decode_s = time.perf_counter() - t0
+    timings["q_decode_pipeline"] = round(decode_s, 3)
+    assert n_dec == n_rows
     shutil.rmtree(out, ignore_errors=True)
 
     gbps = metrics["raw_bytes"] / max(encode_s, 1e-9) / 1e9

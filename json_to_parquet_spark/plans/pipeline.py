@@ -197,7 +197,12 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     # --- manifest append (lineage + metrics checkpoint, no payloads)
     t_manifest = time.perf_counter()
     run_id = uuid.uuid4().hex[:12]
-    written = spark.read.parquet(_chunks_path(out_dir))
+    try:
+        written = spark.read.parquet(_chunks_path(out_dir))
+    except Exception:
+        # empty input → nothing was written; synthesize an empty store
+        from ..operators.encode import CHUNK_SCHEMA
+        written = spark.createDataFrame([], CHUNK_SCHEMA)
     if done:
         written = written.filter(~F.col("chunk_id").isin(done))
     if todo_limited is not None:

@@ -90,6 +90,15 @@ def test_pipeline_resume_identical(spark, pages, tmp_path):
     assert pipeline.verify_encoded(spark, pages, out_a)["ok"]
 
 
+def test_empty_input_pipeline(spark, tmp_path):
+    """Empty source: pipeline completes with zero chunks, no crash."""
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+    m = pipeline.run_encode(spark, empty, str(tmp_path / "e"), n_chunks=4)
+    assert m["rows"] == 0 and m["chunks_encoded"] == 0
+
+
 def test_decode_via_read_encoded(spark, pages, tmp_path):
     out = str(tmp_path / "enc2")
     pipeline.run_encode(spark, pages, out, n_chunks=3)
