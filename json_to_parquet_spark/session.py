@@ -51,6 +51,15 @@ def get_spark(app: str = "json_to_parquet_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Arrow IPC keeps many threads in JNI critical regions; the JVM
+        # default of 2 GCLocker allocation retries causes spurious
+        # "Retried waiting for GCLocker too often" stalls/failures at
+        # high parallelism (JDK-8192647) — raise the retry budget
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=100")
+        .config("spark.shuffle.compress",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
     )
     # local mode: all executor threads share one machine disk, so shuffle
     # through tmpfs when available — on a real cluster shuffle I/O is

@@ -90,6 +90,21 @@ def test_pipeline_resume_identical(spark, pages, tmp_path):
     assert pipeline.verify_encoded(spark, pages, out_a)["ok"]
 
 
+def test_verify_detects_corruption(spark, pages, tmp_path):
+    """The round-trip gate must FAIL when the source is perturbed — a
+    verifier that can't fail is no gate."""
+    import pyspark.sql.functions as F
+    out = str(tmp_path / "enc_c")
+    pipeline.run_encode(spark, pages, out, n_chunks=3)
+    tampered = pages.withColumn(
+        "text", F.when(F.xxhash64("url") % 100 == 0,
+                       F.concat(F.col("text"), F.lit("!"))).otherwise(
+            F.col("text")))
+    res = pipeline.verify_encoded(spark, tampered, out)
+    assert not res["ok"]
+    assert res["text_bad"] > 0 and res["lang_bad"] == 0
+
+
 def test_empty_input_pipeline(spark, tmp_path):
     """Empty source: pipeline completes with zero chunks, no crash."""
     empty = spark.createDataFrame(
