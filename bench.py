@@ -59,6 +59,28 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
 
+    # reference-pipeline benchmark: JSON→Parquet conversion (the
+    # reference's entire job, Manager.main) — single-threaded Java DOM
+    # in the reference vs distributed spark.read.json here
+    from json_to_parquet_spark.sources.ingest import json_to_parquet
+    jdir = tempfile.mkdtemp(prefix="j2ps_json_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs.write.mode("overwrite").json(jdir + "/in")
+    events.write.mode("append").json(jdir + "/in")
+    # pad with web-pages text docs so the MB/s isn't fixed-cost-dominated
+    synth_webpages(spark, 150000, seed=7, partitions=cpus * 2) \
+        .drop("html", "warc_ts").write.mode("append").json(jdir + "/in")
+    json_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(jdir + "/in") for f in fs
+        if not f.startswith(("_", ".")))
+    t0 = time.perf_counter()
+    json_to_parquet(spark, jdir + "/in", jdir + "/out")
+    json2parquet_s = time.perf_counter() - t0
+    timings["q_json2parquet_reference_pipeline"] = round(json2parquet_s, 3)
+    shutil.rmtree(jdir, ignore_errors=True)
+
     # encode pipeline benchmark on the input_hint-shaped table
     pages = synth_webpages(spark, BENCH_WEBPAGE_ROWS, seed=42,
                            partitions=cpus * 2)
@@ -102,6 +124,8 @@ def main() -> int:
             "compression_ratio": round(
                 metrics["raw_bytes"] / max(metrics["enc_bytes"], 1), 3),
             "codecs": metrics["codecs"],
+            "json2parquet_mb_per_s": round(
+                json_bytes / 1e6 / max(json2parquet_s, 1e-9), 1),
             "scaling_evidence": scaling,
         },
     }))
