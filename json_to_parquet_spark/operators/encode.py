@@ -44,6 +44,8 @@ CHUNK_SCHEMA = T.StructType([
     T.StructField("meta", T.StringType(), False),
     T.StructField("checksum", T.StringType(), False),
     T.StructField("wall_ms", T.DoubleType(), False),
+    T.StructField("min_val", T.StringType(), True),
+    T.StructField("max_val", T.StringType(), True),
 ])
 
 _SPARK_TO_ARROW = {
@@ -84,6 +86,7 @@ CHUNK_ARROW = [
     ("enc_bytes", pa.int64()), ("payload", pa.binary()),
     ("meta", pa.string()), ("checksum", pa.string()),
     ("wall_ms", pa.float64()),
+    ("min_val", pa.string()), ("max_val", pa.string()),
 ]
 
 
@@ -109,6 +112,13 @@ def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
                 arr = arr.cast(arrow_schema.field(c).type)
             raw = sum(b.size for b in arr.buffers() if b is not None)
             payload, meta = encode_column(arr, codecs.get(c, "plain"))
+            vmin = vmax = None
+            if len(arr) > arr.null_count and not pa.types.is_binary(arr.type):
+                try:  # zone map: per-chunk min/max for chunk pruning
+                    mm = pc.min_max(arr)
+                    vmin, vmax = str(mm["min"].as_py()), str(mm["max"].as_py())
+                except Exception:
+                    pass
             cols["chunk_id"].append(chunk_id)
             cols["column"].append(c)
             cols["codec"].append(meta["codec"])
@@ -119,6 +129,8 @@ def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
             cols["meta"].append(meta_to_json(meta))
             cols["checksum"].append(hashlib.sha256(payload).hexdigest())
             cols["wall_ms"].append((time.perf_counter() - t0) * 1000.0)
+            cols["min_val"].append(vmin)
+            cols["max_val"].append(vmax)
         return pa.table(
             {name: pa.array(cols[name], type=t) for name, t in out_fields})
     return fn
@@ -157,8 +169,17 @@ def _decode_group_fn(schema: T.StructType, arrow_schema: pa.Schema):
     return fn
 
 
-def decode_chunks(chunks: DataFrame, schema: T.StructType) -> DataFrame:
-    """Inverse of encode_chunks: encoded chunk rows → original-schema rows."""
+def decode_chunks(chunks: DataFrame, schema: T.StructType,
+                  columns: list[str] | None = None) -> DataFrame:
+    """Inverse of encode_chunks: encoded chunk rows → original-schema rows.
+
+    `columns` selects a subset to decode — the untouched columns' payloads
+    are never read (the filter on `column` pushes down to the chunk-store
+    parquet scan), the columnar payoff of the format."""
+    if columns is not None:
+        schema = T.StructType([f for f in schema.fields
+                               if f.name in set(columns)])
+        chunks = chunks.filter(F.col("column").isin(list(columns)))
     tz = chunks.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     aschema = arrow_schema_for(schema, tz=tz)
     return chunks.groupBy("chunk_id").applyInArrow(

@@ -209,7 +209,8 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
         written = written.filter(F.col("chunk_id").isin(todo_limited))
     manifest = written.select(
         "chunk_id", "column", "codec", "n_rows", "raw_bytes", "enc_bytes",
-        "checksum", "wall_ms").withColumn("run_id", F.lit(run_id)) \
+        "checksum", "wall_ms", "min_val", "max_val") \
+        .withColumn("run_id", F.lit(run_id)) \
         .withColumn("status", F.lit("ok"))
     manifest.write.mode("append").parquet(_manifest_path(out_dir))
 
@@ -237,13 +238,50 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     return metrics
 
 
-def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Decode the chunk store back to the original-schema DataFrame."""
+def read_encoded(spark: SparkSession, out_dir: str,
+                 columns: list[str] | None = None,
+                 where: tuple | None = None) -> DataFrame:
+    """Decode the chunk store back to a DataFrame.
+
+    columns — decode only these columns (others' payloads never read).
+    where — (col, lo, hi) range predicate: chunks whose zone map
+    [min_val, max_val] cannot intersect [lo, hi] are pruned via the
+    manifest BEFORE any payload is touched (lo/hi None = open-ended);
+    the exact residual filter is applied after decode."""
     with open(_meta_file(out_dir)) as fh:
         meta = json.load(fh)
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     chunks = spark.read.parquet(_chunks_path(out_dir))
-    return decode_chunks(chunks, schema)
+    residual = None
+    if where is not None:
+        col, lo, hi = where
+        dtype = dict((f.name, f.dataType) for f in schema.fields)[col]
+        numeric = isinstance(dtype, (T.LongType, T.IntegerType,
+                                     T.DoubleType, T.FloatType,
+                                     T.ShortType, T.ByteType))
+        m = spark.read.parquet(_manifest_path(out_dir)) \
+            .filter(F.col("column") == col)
+        mn = F.col("min_val").cast("double") if numeric else F.col("min_val")
+        mx = F.col("max_val").cast("double") if numeric else F.col("max_val")
+        keep = F.lit(True)
+        if lo is not None:
+            keep = keep & (mx >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (mn <= F.lit(hi))
+        live = [r.chunk_id for r in
+                m.filter(keep).select("chunk_id").distinct().collect()]
+        chunks = chunks.filter(F.col("chunk_id").isin(live))
+        residual = F.lit(True)
+        if lo is not None:
+            residual = residual & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            residual = residual & (F.col(col) <= F.lit(hi))
+        if columns is not None and col not in columns:
+            columns = list(columns) + [col]
+    out = decode_chunks(chunks, schema, columns=columns)
+    if residual is not None:
+        out = out.filter(residual)
+    return out
 
 
 def verify_encoded(spark: SparkSession, src: DataFrame, out_dir: str) -> dict:
