@@ -32,7 +32,7 @@ from .bitutil import pack_sections, pack_validity, unpack_sections, unpack_valid
 from .intcodec import (delta_decode, for_decode, for_encode, rle_decode,
                        rle_encode)
 
-CODECS = ("plain", "for", "rle", "dict", "fsst")
+CODECS = ("plain", "for", "delta", "rle", "dict", "fsst")
 
 _SIMPLE_TYPES = {
     "int8": pa.int8(),

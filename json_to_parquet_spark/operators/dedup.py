@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import IntegerType, LongType
+from pyspark.sql.types import LongType
 
 from ..functions.text import char_shingles, fingerprint, word_tokens
 
