@@ -157,13 +157,18 @@ def q_quality_by_source(spark, sf):
 
 
 def q_tpch_pricing(spark, sf):
+    """Money aggregates as integer cents (×100 / ×10000): decimal sums are
+    exact on both engines, but their *renderings* differ (scale padding),
+    which flips the driver's value hash — BIGINT is rendering-stable."""
     li = _t(spark, sf, "lineitem")
     return (li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-              * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
-        .cast("decimal(28,4)").alias("sum_disc_price"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("bigint").alias("sum_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint").alias("sum_price"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+               * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+         .cast("decimal(28,4)") * 10000).cast("bigint").alias("sum_disc_price"),
         F.count(F.lit(1)).alias("count_order")))
 
 
@@ -174,8 +179,8 @@ def q_revenue_by_nation(spark, sf):
     return (o.join(c, o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .groupBy("n_name")
-             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                  .alias("revenue"),
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                  .cast("bigint").alias("revenue"),
                   F.count(F.lit(1)).alias("n_orders")))
 
 
@@ -209,8 +214,8 @@ def q_rollup_orders(spark, sf):
     o = _t(spark, sf, "orders")
     return (o.rollup("o_orderpriority", "o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .alias("total")))
+                 (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+                 .cast("bigint").alias("total")))
 
 
 def q_pivot_status_counts(spark, sf):
@@ -560,14 +565,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source""",
         "q_tpch_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS sum_disc_price,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "q_revenue_by_nation": """
             SELECT n_name,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -591,8 +596,8 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_orders": """
             SELECT o_orderpriority, o_orderstatus,
                    CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                        AS DECIMAL(28,2)) AS total
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
         "q_pivot_status_counts": """
