@@ -177,7 +177,8 @@ def _encode_values(values: pa.Array, codec: str, lane: str,
 
 
 def _fsst_apply(data: bytes, symbols: list[bytes], codes: list[int]):
-    """Apply a shared (pass-1) symbol table to this chunk's blob.
+    """Apply a shared (pass-1) symbol table to this chunk's blob with the
+    single-pass matcher.
 
     Returns the compressed blob, or None if any code byte occurs in the
     blob (the global free-code estimate came from a sample — collisions
@@ -187,10 +188,7 @@ def _fsst_apply(data: bytes, symbols: list[bytes], codes: list[int]):
     counts = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
     if any(counts[c] for c in codes):
         return None
-    out = data
-    for sym, code in zip(symbols, codes):
-        out = out.replace(sym, bytes([code]))
-    return out if len(out) < len(data) else None
+    return fsst.apply_table(data, symbols, codes)
 
 
 def _encode_bytes(values: pa.Array, codec: str, params: dict | None = None):

@@ -26,21 +26,24 @@ def token_count(col: Column) -> Column:
 
 
 def word_tokens(col: Column) -> Column:
-    """Distinct whitespace tokens (lowercased) — the word-shingle set."""
-    t = F.lower(F.trim(col))
+    """Distinct whitespace tokens (lowercased) — the word-shingle set.
+    NULL input → empty array (not NULL: downstream dedup kernels index
+    into these arrays)."""
+    t = F.lower(F.trim(F.coalesce(col, F.lit(""))))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.split(t, r"\s+")))
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct character k-grams (JVM-side: sequence + transform +
-    substring — no Python). Input shorter than k → empty array."""
-    n = F.length(col)
+    substring — no Python). NULL or shorter-than-k input → empty array."""
+    safe = F.coalesce(col, F.lit(""))
+    n = F.length(safe)
     # sequence(1, 0) would step backwards — guard short inputs explicitly
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: col.substr(i, F.lit(k)))))
+            lambda i: safe.substr(i, F.lit(k)))))
 
 
 def fingerprint(col: Column) -> Column:

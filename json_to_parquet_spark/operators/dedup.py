@@ -36,18 +36,24 @@ from ..functions.text import char_shingles, fingerprint, word_tokens
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one row per canonical fingerprint (smallest id wins —
-    deterministic). One hash-shuffle; no sort."""
+    deterministic). One hash-shuffle; no sort. NULL-text rows have no
+    fingerprint and pass through untouched (they are not all collapsed
+    into one NULL-key group)."""
     fp = fingerprint(F.col(text_col)).alias("__fp")
     keep = (df.select(F.col(id_col), fp)
+              .filter(F.col("__fp").isNotNull())
               .groupBy("__fp").agg(F.min(id_col).alias(id_col))
               .drop("__fp"))
-    return df.join(keep, id_col, "left_semi")
+    deduped = df.join(keep, id_col, "left_semi")
+    return deduped.unionByName(df.filter(F.col(text_col).isNull()))
 
 
 def duplicate_clusters(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """Exact-dup clusters: fingerprint → (n_docs, representative id)."""
+    """Exact-dup clusters: fingerprint → (n_docs, representative id).
+    NULL-text rows are excluded (no canonical content to cluster on)."""
     return (df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+              .filter(F.col("fp").isNotNull())
               .groupBy("fp")
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.min(id_col).alias("rep_id")))
@@ -133,13 +139,52 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     return pairs
 
 
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components of an undirected pair graph by min-label
+    propagation: every vertex repeatedly takes the minimum label among
+    itself and its neighbors until fixpoint (≤ graph diameter rounds,
+    checked with a cheap changed-count action each round).
+
+    Returns (id, component) where component = the smallest vertex id in
+    the component — the canonical "keep smallest id" representative.
+    Each round is one shuffle join + one aggregation; dedup candidate
+    graphs are near-diameter-1 (stars of near-identical docs), so this
+    converges in 2-3 rounds in practice."""
+    edges = (pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+             .unionByName(pairs.select(F.col(dst).alias("s"),
+                                       F.col(src).alias("d")))
+             .distinct())
+    labels = (edges.select(F.col("s").alias("id")).distinct()
+              .withColumn("component", F.col("id")))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.s == labels.id)
+                        .groupBy(F.col("d").alias("id"))
+                        .agg(F.min("component").alias("nmin")))
+        updated = (labels.join(neighbor_min, "id", "left")
+                   .select("id", F.least("component",
+                                         F.coalesce("nmin", "component"))
+                           .alias("component"))
+                   .persist())
+        changed = (updated.join(labels.withColumnRenamed("component", "old"),
+                                "id")
+                   .filter(F.col("component") != F.col("old")).count())
+        labels.unpersist()  # no-op on the (unpersisted) first iteration
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.7,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5) -> DataFrame:
     """Near-dup removal: LSH candidates → exact shingle-Jaccard confirm →
-    drop the larger id of each confirmed pair (single-pass representative
-    selection; documented approximation of full connected components)."""
+    connected components over confirmed pairs → keep the smallest id of
+    each component. Transitive chains (A~B, B~C, A≁C) collapse to ONE
+    representative — pairwise loser-dropping would drop C against a B
+    that is itself dropped against A."""
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
                                   shingle_k)
     sh = df.select(F.col(id_col),
@@ -150,7 +195,9 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
             .withColumn("jac", F.size(F.array_intersect("sh_a", "sh_b"))
                         / F.size(F.array_union("sh_a", "sh_b")))
             .filter(F.col("jac") >= threshold))
-    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    comp = connected_components(confirmed, "id_a", "id_b")
+    losers = (comp.filter(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
 
 

@@ -20,9 +20,13 @@ Scale notes (the 100 TB design point):
   - chunk membership is a pure row function → no global coordination;
     the only shuffle is the hash partition by chunk id, sized by
     `target_chunk_bytes` so one chunk ≈ one comfortable Arrow group.
-  - the manifest is tiny (n_chunks × n_cols rows) → completed-chunk
-    filtering is a broadcast semi-join (isin on chunk ids).
-  - pass 1 samples; it never re-reads the full table.
+  - completed-chunk filtering and zone-map pruning are broadcast
+    anti-joins against the (tiny) manifest — never a collected id list:
+    at 100 TB / 32 MB chunks there are ~3M chunk ids, and an `isin`
+    literal list of that size is a driver-side plan bomb.
+  - pass 1 samples a bounded NUMBER of rows (`sample_rows`, default 1M),
+    not a fraction — codec choice needs distribution shape, and 25% of
+    10^12 docs would be a 25 TB "sample".
 """
 
 from __future__ import annotations
@@ -96,27 +100,39 @@ def _meta_file(out_dir: str) -> str:
     return os.path.join(out_dir, "table_meta.json")
 
 
-def completed_chunks(spark: SparkSession, out_dir: str, n_cols: int) -> list[int]:
-    """Chunk ids whose manifest rows cover every column (lineage check)."""
+def completed_chunks(spark: SparkSession, out_dir: str,
+                     n_cols: int) -> DataFrame | None:
+    """Chunk ids whose manifest rows cover every column (lineage check).
+
+    Returns a one-column (`chunk_id`) DataFrame — kept as a DataFrame so
+    callers filter with a broadcast anti-join instead of collecting
+    potentially millions of ids into an `isin` literal list. None when no
+    manifest exists yet."""
     path = _manifest_path(out_dir)
     try:
         m = spark.read.parquet(path)
     except Exception:
-        return []
-    done = (m.groupBy("chunk_id")
+        return None
+    return (m.groupBy("chunk_id")
             .agg(F.countDistinct("column").alias("ncols"))
             .filter(F.col("ncols") >= n_cols)
             .select("chunk_id"))
-    return [r.chunk_id for r in done.collect()]
 
 
 def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
                key: str = "url", codecs: dict[str, str] | None = None,
-               n_chunks: int | None = None, sample_fraction: float = 0.25,
+               n_chunks: int | None = None,
+               sample_fraction: float | None = None,
+               sample_rows: int = 1_000_000,
                target_chunk_bytes: int = 32 << 20, resume: bool = True,
                max_chunks_this_run: int | None = None,
                post_compress: str | None = None) -> dict:
-    """Run (or resume) the encode pipeline. Returns run metrics."""
+    """Run (or resume) the encode pipeline. Returns run metrics.
+
+    Pass-1 sampling is capped by ROWS (`sample_rows`), not fraction —
+    stats need distribution shape, so the pass reads O(constant) rows at
+    any table size. `sample_fraction` overrides the derived fraction when
+    set explicitly."""
     t0 = time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
     columns = [f.name for f in src.schema.fields]
@@ -125,9 +141,18 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     # n_chunks (chunk membership is a function of n_chunks — changing it
     # mid-table would orphan completed chunks), and skips pass 1 entirely.
     existing = None
-    if resume and os.path.exists(_meta_file(out_dir)):
-        with open(_meta_file(out_dir)) as fh:
-            existing = json.load(fh)
+    if os.path.exists(_meta_file(out_dir)):
+        if resume:
+            with open(_meta_file(out_dir)) as fh:
+                existing = json.load(fh)
+        else:
+            # fresh run over a used out_dir: stale chunk directories from
+            # an older (possibly different-n_chunks) layout would survive
+            # dynamic partition overwrite and leak ghost rows into reads
+            import shutil
+            for sub in (_chunks_path(out_dir), _manifest_path(out_dir)):
+                shutil.rmtree(sub, ignore_errors=True)
+            os.remove(_meta_file(out_dir))
 
     stats_wall = 0.0
     if existing is not None:
@@ -138,6 +163,11 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     else:
         # --- pass 1: sampled stats → codec decision + shared encoder state
         t_stats = time.perf_counter()
+        if sample_fraction is None:
+            est_rows = src.count()  # column-less scan (parquet: metadata)
+            sample_fraction = min(1.0, sample_rows / max(est_rows, 1))
+        else:
+            est_rows = None
         stats = collect_stats(src, sample_fraction=sample_fraction)
         if codecs is None:
             codecs = choose_codecs(stats, src.schema)
@@ -147,9 +177,10 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
                 entry["post"] = post_compress
         sort_order = choose_sort_order(stats, src.schema, key)
         stats_wall = time.perf_counter() - t_stats
-        rows_sampled = next(iter(stats.values()))["rows"] if stats else 0
-        est_rows = (int(rows_sampled / max(sample_fraction, 1e-9))
-                    if sample_fraction < 1.0 else rows_sampled)
+        if est_rows is None:
+            rows_sampled = next(iter(stats.values()))["rows"] if stats else 0
+            est_rows = (int(rows_sampled / max(sample_fraction, 1e-9))
+                        if sample_fraction < 1.0 else rows_sampled)
         if n_chunks is None:
             est_bytes = est_rows * _estimate_row_bytes(src.schema, stats)
             # floor at 4x the cluster parallelism: chunks land in shuffle
@@ -170,16 +201,28 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
                                  for c, s in stats.items()}},
                       fh, default=str)
 
-    # --- resume: restrict to incomplete chunks
-    done = completed_chunks(spark, out_dir, len(columns)) if resume else []
+    # --- resume: restrict to incomplete chunks via broadcast anti-join
+    # (the done set can be millions of ids — never an isin literal list)
+    done = completed_chunks(spark, out_dir, len(columns)) if resume else None
+    done_count = done.count() if done is not None else 0
     todo_limited = None
     chunked = with_chunk_id(src, key, n_chunks)
-    if done:
-        chunked = chunked.filter(~F.col(CHUNK_COL).isin(done))
+    if done_count:
+        chunked = chunked.join(
+            F.broadcast(done.withColumnRenamed("chunk_id", CHUNK_COL)),
+            CHUNK_COL, "left_anti")
     if max_chunks_this_run is not None:
-        todo = sorted(set(range(n_chunks)) - set(done))[:max_chunks_this_run]
-        chunked = chunked.filter(F.col(CHUNK_COL).isin(todo))
-        todo_limited = todo
+        todo_limited = spark.range(n_chunks) \
+            .select(F.col("id").cast("int").alias("chunk_id"))
+        if done_count:
+            todo_limited = todo_limited.join(F.broadcast(done), "chunk_id",
+                                             "left_anti")
+        todo_limited = spark.createDataFrame(
+            todo_limited.orderBy("chunk_id").limit(max_chunks_this_run)
+            .collect())
+        chunked = chunked.join(
+            F.broadcast(todo_limited.withColumnRenamed("chunk_id", CHUNK_COL)),
+            CHUNK_COL, "left_semi")
 
     # --- pass 2: encode + persist chunk store
     # encode_chunks re-derives the (identical) chunk id itself
@@ -203,10 +246,11 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
         # empty input → nothing was written; synthesize an empty store
         from ..operators.encode import CHUNK_SCHEMA
         written = spark.createDataFrame([], CHUNK_SCHEMA)
-    if done:
-        written = written.filter(~F.col("chunk_id").isin(done))
+    if done_count:
+        written = written.join(F.broadcast(done), "chunk_id", "left_anti")
     if todo_limited is not None:
-        written = written.filter(F.col("chunk_id").isin(todo_limited))
+        written = written.join(F.broadcast(todo_limited), "chunk_id",
+                               "left_semi")
     manifest = written.select(
         "chunk_id", "column", "codec", "n_rows", "raw_bytes", "enc_bytes",
         "checksum", "wall_ms", "min_val", "max_val") \
@@ -223,7 +267,7 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     metrics = {
         "run_id": run_id, "n_chunks": n_chunks,
         "chunks_encoded": agg["chunks"] or 0,
-        "chunks_skipped": len(done),
+        "chunks_skipped": done_count,
         "rows": int(agg["rows"] or 0),
         "raw_bytes": int(agg["raw_bytes"] or 0),
         "enc_bytes": int(agg["enc_bytes"] or 0),
@@ -238,16 +282,36 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     return metrics
 
 
+def _batch_dirs(out_dir: str) -> list[str]:
+    """Sub-stores of a streaming (per-micro-batch) store, oldest first."""
+    root = os.path.join(out_dir, "batches")
+    if os.path.exists(_meta_file(out_dir)) or not os.path.isdir(root):
+        return []
+    return [os.path.join(root, d) for d in sorted(os.listdir(root))
+            if os.path.exists(_meta_file(os.path.join(root, d)))]
+
+
 def read_encoded(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  where: tuple | None = None) -> DataFrame:
-    """Decode the chunk store back to a DataFrame.
+    """Decode the chunk store back to a DataFrame. A streaming store
+    (per-batch sub-stores under out_dir/batches/) is unioned
+    transparently.
 
     columns — decode only these columns (others' payloads never read).
     where — (col, lo, hi) range predicate: chunks whose zone map
-    [min_val, max_val] cannot intersect [lo, hi] are pruned via the
-    manifest BEFORE any payload is touched (lo/hi None = open-ended);
-    the exact residual filter is applied after decode."""
+    [min_val, max_val] PROVABLY cannot intersect [lo, hi] are pruned via
+    a broadcast anti-join on the manifest BEFORE any payload is touched
+    (lo/hi None = open-ended); the exact residual filter is applied after
+    decode. Pruning is conservative: chunks with NULL bounds (binary
+    columns, min/max failures) and chunks missing from the manifest
+    (crash window between store write and manifest append) are KEPT."""
+    batches = _batch_dirs(out_dir)
+    if batches:
+        out = read_encoded(spark, batches[0], columns, where)
+        for b in batches[1:]:
+            out = out.unionByName(read_encoded(spark, b, columns, where))
+        return out
     with open(_meta_file(out_dir)) as fh:
         meta = json.load(fh)
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
@@ -256,21 +320,29 @@ def read_encoded(spark: SparkSession, out_dir: str,
     if where is not None:
         col, lo, hi = where
         dtype = dict((f.name, f.dataType) for f in schema.fields)[col]
-        numeric = isinstance(dtype, (T.LongType, T.IntegerType,
-                                     T.DoubleType, T.FloatType,
-                                     T.ShortType, T.ByteType))
+        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType,
+                              T.ByteType)):
+            bound_t = "bigint"  # NOT double: int64 > 2^53 would round
+        elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+            bound_t = "double"
+        else:
+            bound_t = None  # stringified bounds compare lexically
         m = spark.read.parquet(_manifest_path(out_dir)) \
             .filter(F.col("column") == col)
-        mn = F.col("min_val").cast("double") if numeric else F.col("min_val")
-        mx = F.col("max_val").cast("double") if numeric else F.col("max_val")
-        keep = F.lit(True)
+        # try_cast: a malformed bound under ANSI mode must degrade to
+        # NULL (→ chunk kept), never fail the whole read
+        mn = F.col("min_val").try_cast(bound_t) if bound_t \
+            else F.col("min_val")
+        mx = F.col("max_val").try_cast(bound_t) if bound_t \
+            else F.col("max_val")
+        # provably-excluded predicate; NULL bounds → false → chunk kept
+        excl = F.lit(False)
         if lo is not None:
-            keep = keep & (mx >= F.lit(lo))
+            excl = excl | F.coalesce(mx < F.lit(lo), F.lit(False))
         if hi is not None:
-            keep = keep & (mn <= F.lit(hi))
-        live = [r.chunk_id for r in
-                m.filter(keep).select("chunk_id").distinct().collect()]
-        chunks = chunks.filter(F.col("chunk_id").isin(live))
+            excl = excl | F.coalesce(mn > F.lit(hi), F.lit(False))
+        pruned = m.filter(excl).select("chunk_id").distinct()
+        chunks = chunks.join(F.broadcast(pruned), "chunk_id", "left_anti")
         residual = F.lit(True)
         if lo is not None:
             residual = residual & (F.col(col) >= F.lit(lo))
@@ -286,7 +358,9 @@ def read_encoded(spark: SparkSession, out_dir: str,
 
 def verify_encoded(spark: SparkSession, src: DataFrame, out_dir: str) -> dict:
     """Round-trip gate: decode chunk store, compare to src bit-identically."""
-    with open(_meta_file(out_dir)) as fh:
+    batches = _batch_dirs(out_dir)
+    meta_dir = batches[0] if batches else out_dir
+    with open(_meta_file(meta_dir)) as fh:
         meta = json.load(fh)
     decoded = read_encoded(spark, out_dir)
     row = verify_roundtrip(src, decoded, meta["key"]).collect()[0].asDict()

@@ -5,9 +5,15 @@ checkpoints, plans/pipeline.py), but the engine also exposes a streaming
 ingest path for continuously-arriving web pages:
 
   readStream (json / parquet dir)
-    → foreachBatch: run_encode(batch) into the SAME chunk store
-      (the manifest makes re-delivered micro-batches idempotent at the
-      chunk level; checkpointLocation makes the stream itself resumable)
+    → foreachBatch: run_encode(batch) into a PER-BATCH chunk store
+      (out_dir/batches/<batch_id>). Chunk ids are url-hash based, so
+      nearly every chunk id appears in every batch — encoding batches
+      into one shared store would make each batch's dynamic partition
+      overwrite replace the previous batches' chunk directories (only the
+      last batch would survive). Per-batch stores make replayed batches
+      idempotent (same batch_id → same directory, fresh overwrite) while
+      `plans.pipeline.read_encoded` unions the sub-stores transparently;
+      checkpointLocation makes the stream itself resumable.
 
 plus a classic watermark + tumbling-window aggregation over the events
 table shape, demonstrating late-data handling with built-in operators.
@@ -31,12 +37,14 @@ WEBPAGE_SCHEMA = T.StructType([
 def encode_stream(spark: SparkSession, src_dir: str, out_dir: str,
                   checkpoint_dir: str, fmt: str = "parquet",
                   n_chunks: int = 64, trigger_once: bool = True):
-    """Stream web pages from a directory into the encoded chunk store.
+    """Stream web pages from a directory into an encoded chunk store.
 
-    Each micro-batch runs the (resumable) batch pipeline with a pinned
-    chunk count; chunk ids are content-addressed (url hash), so chunks
-    are overwritten deterministically if a batch is replayed. Returns the
-    StreamingQuery."""
+    Each micro-batch runs the batch pipeline into its own sub-store
+    `out_dir/batches/<batch_id>`; a replayed batch re-encodes the same
+    directory deterministically (resume=False wipes any half-written
+    attempt first). Returns the StreamingQuery."""
+    import os
+
     from ..plans.pipeline import run_encode
 
     reader = spark.readStream.format(fmt).schema(WEBPAGE_SCHEMA)
@@ -45,7 +53,8 @@ def encode_stream(spark: SparkSession, src_dir: str, out_dir: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        run_encode(batch_df.sparkSession, batch_df, out_dir,
+        batch_dir = os.path.join(out_dir, "batches", f"{batch_id:010d}")
+        run_encode(batch_df.sparkSession, batch_df, batch_dir,
                    n_chunks=n_chunks, resume=False, sample_fraction=0.5)
 
     writer = (stream.writeStream.foreachBatch(sink)

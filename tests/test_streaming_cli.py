@@ -98,3 +98,28 @@ print("CLI_OK")
     out = subprocess.run([sys.executable, "-c", env_script],
                          capture_output=True, text=True, timeout=900)
     assert "CLI_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_streaming_encode_multi_batch(spark, tmp_path):
+    """Two micro-batches must BOTH survive: chunk ids repeat across
+    batches (url-hash pmod), so a shared store would let batch 2's
+    dynamic overwrite wipe batch 1's chunk dirs."""
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    src = str(tmp_path / "in")
+    all_pages = synth_webpages(spark, 2000, seed=11).cache()
+    first = all_pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    second = all_pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) != 0)
+    first.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "enc")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = encode_stream(spark, src, out, ckpt, n_chunks=4)
+    q.awaitTermination(timeout=300)
+    second.write.mode("append").parquet(src)
+    q = encode_stream(spark, src, out, ckpt, n_chunks=4)
+    q.awaitTermination(timeout=300)
+
+    decoded = pipeline.read_encoded(spark, out)
+    assert decoded.count() == 2000
+    assert decoded.select("url").distinct().count() == 2000
+    assert pipeline.verify_encoded(spark, all_pages, out)["ok"]

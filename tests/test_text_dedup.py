@@ -131,3 +131,49 @@ def test_multimodal_plumbing(spark):
     assert fs.select("media_id").distinct().count() == vids
     with pytest.raises(NotImplementedError):
         multimodal.set_decoder(None)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C (A not adjacent to C) must collapse to ONE component with
+    the smallest id as representative; disjoint pairs stay separate."""
+    from json_to_parquet_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 9)], "id_a long, id_b long")
+    comp = {r.id: r.component
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9, 10: 9}
+
+
+def test_minhash_dedup_transitive_cluster(spark):
+    """Chain of near-dups A~B~C keeps exactly one representative even
+    when A and C alone would not be near-dups."""
+    from json_to_parquet_spark.operators.dedup import minhash_lsh_dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight ") * 6
+    mid = base.replace("quick", "rapid").replace("lazy", "idle") \
+              .replace("deep", "vast")
+    far = mid.replace("brown", "grey").replace("dog", "cat") \
+             .replace("dark", "dim")
+    rows = [(1, base), (2, mid), (3, far), (4, "completely different "
+            "content about spark query engines and columnar codecs " * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = minhash_lsh_dedup(df, threshold=0.55)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert 4 in ids
+    assert len([i for i in ids if i in (1, 2, 3)]) == 1, ids
+
+
+def test_dedup_null_text_passthrough(spark):
+    """NULL-text rows: exact_dedup passes them through (no collapse into
+    one NULL group), simhash does not crash, clusters exclude them."""
+    from json_to_parquet_spark.operators.dedup import (duplicate_clusters,
+                                                       exact_dedup, simhash)
+    rows = [(1, "same text"), (2, "same text"), (3, None), (4, None),
+            (5, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3, 4, 5]
+    cl = duplicate_clusters(df)
+    assert cl.agg(F.sum("n_docs")).collect()[0][0] == 3  # nulls excluded
+    sh = simhash(df).collect()  # must not raise on None text
+    assert len(sh) == 5
