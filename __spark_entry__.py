@@ -310,6 +310,22 @@ def q_ann_batch_topk(spark, sf):
     return top.select("q_id", "vec_id", F.round("cosine", 6).alias("cos6"))
 
 
+def q_minhash_candidates_md5(spark, sf):
+    """Banded MinHash-LSH candidates with md5 lane hashes — the
+    oracle-checkable twin of q_minhash_candidates (DuckDB reproduces the
+    identical shingles, lane minima, band keys, and pair join)."""
+    from json_to_parquet_spark.operators.dedup import \
+        minhash_lsh_candidates_md5
+    return minhash_lsh_candidates_md5(_t(spark, sf, "documents"))
+
+
+def q_simhash_md5(spark, sf):
+    """Per-document 60-bit SimHash from md5 token hashes — validates the
+    vectorized bit-majority kernel value-exactly against DuckDB."""
+    from json_to_parquet_spark.operators.dedup import simhash_md5
+    return simhash_md5(_t(spark, sf, "documents"))
+
+
 def q_embedding_neardup(spark, sf):
     from json_to_parquet_spark.operators.dedup import cosine_expr
     emb = _t(spark, sf, "embeddings").select(
@@ -455,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": _shipped(q_ann_topk),
         "q_ann_batch_topk": _shipped(q_ann_batch_topk),
         "q_embedding_neardup": _shipped(q_embedding_neardup),
+        "q_minhash_candidates_md5": _shipped(q_minhash_candidates_md5),
+        "q_simhash_md5": _shipped(q_simhash_md5),
         # rows-only (hash-seeded / pipeline / stubbed)
         "q_minhash_candidates": _shipped(q_minhash_candidates),
         "q_minhash_dedup_kept": _shipped(q_minhash_dedup_kept),
@@ -488,6 +506,59 @@ _QUALITY = f"""
 """
 
 _FP = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+
+
+def _lane_sql(expr: str, lane: int) -> str:
+    """DuckDB twin of dedup.md5_lane_hash: first 15 md5 hex digits."""
+    return (f"CAST(('0x' || substring(md5({expr} || ':{lane}'), 1, 15)) "
+            f"AS BIGINT)")
+
+
+def _minhash_md5_sql(num_hashes: int = 16, bands: int = 4,
+                     shingle_k: int = 5) -> str:
+    r = num_hashes // bands
+    k = shingle_k
+    mins = ",\n              ".join(
+        f"min({_lane_sql('s', i)}) AS m{i}" for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ',' || ".join(
+                f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)))
+        for b in range(bands))
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(
+                   [substring(text, i, {k})
+                    for i in range(1, greatest(length(text) - {k - 1}, 0) + 1)]
+                 )) AS s
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+              {mins}
+          FROM sh GROUP BY doc_id),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+
+def _simhash_md5_sql() -> str:
+    bit_sums = ",\n              ".join(
+        f"sum((hv >> {j}) & 1) AS s{j}" for j in range(60))
+    combine = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE 0 END)" for j in range(60))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'))) AS t
+          FROM documents WHERE length(trim(text)) > 0),
+        h AS (SELECT doc_id, {_lane_sql('t', 0)} AS hv FROM tok),
+        votes AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+              {bit_sums}
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -688,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, vec_id, round(c, 6) AS cos6
             FROM ranked WHERE rn <= 3""",
+        "q_minhash_candidates_md5": _minhash_md5_sql(),
+        "q_simhash_md5": _simhash_md5_sql(),
         "q_embedding_neardup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
                        FROM embeddings)

@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     j2p.add_argument("output")
     j2p.add_argument("--multiline", action="store_true")
     j2p.add_argument("--quirk-parity", action="store_true")
+    j2p.add_argument("--concat", action="store_true",
+                     help="accept back-to-back {...}{...} documents "
+                          "(the reference splitter's input shape)")
 
     gen = sub.add_parser("gen")
     gen.add_argument("output")
@@ -63,7 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.ingest import json_to_parquet
         df = json_to_parquet(spark, args.input, args.output,
                              multi_line=args.multiline,
-                             quirk_parity=args.quirk_parity)
+                             quirk_parity=args.quirk_parity,
+                             concat=args.concat)
         print(json.dumps({"rows": df.count(),
                           "schema": df.schema.simpleString()}))
         return 0
@@ -85,9 +89,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "decode":
         from .plans.pipeline import read_encoded
-        read_encoded(spark, args.encoded).write.mode("overwrite") \
-            .parquet(args.output)
-        print(json.dumps({"path": args.output}))
+        from .sources.webpages import write_table
+        fmt = write_table(read_encoded(spark, args.encoded), args.output)
+        print(json.dumps({"path": args.output, "format": fmt}))
         return 0
     if args.cmd == "verify":
         from .plans.pipeline import verify_encoded

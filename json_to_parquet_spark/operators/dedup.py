@@ -201,6 +201,47 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     return df.join(losers, id_col, "left_anti")
 
 
+def md5_lane_hash(col: Column, lane: int) -> Column:
+    """60-bit lane hash computable IDENTICALLY in ANSI SQL/DuckDB: first
+    15 hex digits of md5(s || ':' || lane) as bigint. ~10x slower than
+    the xxhash64 lanes — used by the oracle-checkable *_md5 variants that
+    let the driver's DuckDB harness verify the LSH/banding pipeline
+    end-to-end; the xxhash64 variants remain the production path."""
+    return F.conv(F.substring(F.md5(F.concat(col, F.lit(f":{lane}"))),
+                              1, 15), 16, 10).cast("bigint")
+
+
+def minhash_lsh_candidates_md5(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", num_hashes: int = 16,
+                               bands: int = 4, shingle_k: int = 5
+                               ) -> DataFrame:
+    """Same banded-LSH candidate generation as `minhash_lsh_candidates`
+    but with md5 lane hashes and plain string band keys, so a DuckDB
+    oracle can reproduce every value. Same shuffle profile: explode →
+    map-side-partial min aggregation → per-bucket self-join."""
+    r = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("__s"))
+    aggs = [F.min(md5_lane_hash(F.col("__s"), i)).alias(f"__m{i}")
+            for i in range(num_hashes)]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    banded = None
+    for b in range(bands):
+        key = F.concat_ws(",", *[F.col(f"__m{b * r + j}").cast("string")
+                                 for j in range(r)])
+        part = sig.select(F.col(id_col), F.lit(b).alias("band"),
+                          key.alias("key"))
+        banded = part if banded is None else banded.unionByName(part)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
 # --- simhash -----------------------------------------------------------------
 
 
@@ -237,6 +278,20 @@ def simhash(df: DataFrame, text_col: str = "text",
     tok_hashes = F.transform(word_tokens(F.col(text_col)),
                              lambda t: F.xxhash64(t))
     return df.withColumn(out_col, _simhash_from_hashes(tok_hashes))
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document 60-bit SimHash from md5 token hashes — the
+    oracle-checkable twin of `simhash` (DuckDB recomputes the identical
+    bit-majority from the same lane hashes). Blank/NULL docs excluded
+    (no tokens → no vote)."""
+    tok_hashes = F.transform(word_tokens(F.col(text_col)),
+                             lambda t: md5_lane_hash(t, 0))
+    return (df.filter(F.length(F.trim(F.coalesce(F.col(text_col),
+                                                 F.lit("")))) > 0)
+            .select(F.col(id_col),
+                    _simhash_from_hashes(tok_hashes).alias("simhash")))
 
 
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",

@@ -356,6 +356,43 @@ def read_encoded(spark: SparkSession, out_dir: str,
     return out
 
 
+def required_columns(spark: SparkSession, out_dir: str) -> dict[str, bool]:
+    """column → True when no encoded chunk holds a NULL for it.
+
+    Quirk parity with the reference's `required` repetition for
+    never-null fields (src/SchemaBuilder.java:91-99): the per-chunk null
+    counts are already in every chunk row's codec meta, so this is one
+    tiny aggregation over the chunk store's meta column (payloads are
+    never read — parquet column pruning)."""
+    chunks = spark.read.parquet(_chunks_path(out_dir))
+    nulls = (chunks.select(
+        "column",
+        F.get_json_object("meta", "$.null_count").cast("long").alias("nc"))
+        .groupBy("column").agg(F.sum("nc").alias("nulls")))
+    return {r["column"]: r["nulls"] == 0 for r in nulls.collect()}
+
+
+def tighten_nullability(spark: SparkSession, out_dir: str) -> T.StructType:
+    """Derive required/optional per column from the encoded chunks and
+    record it in table_meta.json; returns the tightened schema. Spark's
+    JSON inference marks everything nullable — this pass recovers the
+    reference's `required` emission for never-null fields."""
+    req = required_columns(spark, out_dir)
+    with open(_meta_file(out_dir)) as fh:
+        meta = json.load(fh)
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    tightened = T.StructType([
+        T.StructField(f.name, f.dataType,
+                      nullable=not req.get(f.name, False),
+                      metadata=f.metadata)
+        for f in schema.fields])
+    meta["required"] = sorted(c for c, r in req.items() if r)
+    meta["schema_tightened"] = tightened.json()
+    with open(_meta_file(out_dir), "w") as fh:
+        json.dump(meta, fh, default=str)
+    return tightened
+
+
 def verify_encoded(spark: SparkSession, src: DataFrame, out_dir: str) -> dict:
     """Round-trip gate: decode chunk store, compare to src bit-identically."""
     batches = _batch_dirs(out_dir)

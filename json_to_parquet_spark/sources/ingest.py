@@ -45,6 +45,79 @@ def ingest_json(spark: SparkSession, path: str, multi_line: bool = False,
             .json(path))
 
 
+def _split_concat_docs(blob: str) -> list[str]:
+    """Split back-to-back `{...}{...}` JSON objects (quote-aware).
+
+    The reference accepts such files via brace counting
+    (src/JsonFormater.java:32-46) but counts braces INSIDE string values
+    too; this splitter tracks strings and escapes, so documents like
+    {"a": "}"} split correctly. Vectorized numpy state machine — one pass
+    over the file bytes, no per-char Python."""
+    import numpy as np
+    data = blob.encode("utf-8")
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = len(b)
+    if n == 0:
+        return []
+    idx = np.arange(n)
+    bs = b == ord("\\")
+    # consecutive-backslash run length ending just before each position:
+    # a quote is escaped iff that run length is odd
+    prev_non_bs = np.maximum.accumulate(np.where(~bs, idx, -1))
+    run_before = idx - 1 - np.concatenate(([0], prev_non_bs[:-1]))
+    run_before[0] = 0
+    quote = (b == ord('"')) & (run_before % 2 == 0)
+    # inside-string parity BEFORE each position (exclusive cumsum)
+    qcum = np.cumsum(quote)
+    outside = ((qcum - quote) % 2) == 0
+    opens = (b == ord("{")) & outside
+    closes = (b == ord("}")) & outside
+    depth = np.cumsum(opens.astype(np.int32)) - np.cumsum(closes.astype(np.int32))
+    ends = np.flatnonzero(closes & (depth == 0))  # inclusive end offsets
+    starts = np.flatnonzero(opens & (depth == 1))  # depth AFTER the open
+    docs = []
+    prev_end = -1
+    for e in ends:
+        s_candidates = starts[(starts > prev_end) & (starts <= e)]
+        if len(s_candidates) == 0:
+            continue
+        s = int(s_candidates[0])
+        docs.append(data[s : int(e) + 1].decode("utf-8", "replace"))
+        prev_end = int(e)
+    return docs
+
+
+def ingest_json_concat(spark: SparkSession, path: str,
+                       drop_all_null: bool = True) -> DataFrame:
+    """Read files of CONCATENATED JSON objects (`{...}{...}`, newline or
+    not) — the input shape the reference's splitter accepts but Spark's
+    JSON source turns into `_corrupt_record`.
+
+    Plan: wholetext scan → per-file vectorized quote-aware splitter
+    (mapInPandas) → union-schema inference over the individual documents.
+    Each file is one row in the text scan (same whole-file memory model
+    as the reference); at scale, line-delimited JSON remains the fast
+    path — this is the parity path for legacy concatenated files."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    raw = (spark.read.format("text").option("wholetext", "true").load(path))
+
+    def split_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["value"]:
+                out.extend(_split_concat_docs(blob))
+            yield pd.DataFrame({"value": out})
+
+    docs = raw.mapInPandas(split_fn, "value string")
+    return (spark.read
+            .option("dropFieldIfAllNull", "true" if drop_all_null else "false")
+            .option("prefersDecimal", "false")
+            .json(docs.rdd.map(lambda r: r[0])))
+
+
 def _flatten_type(dt: T.DataType) -> T.DataType:
     if isinstance(dt, T.ArrayType):
         inner = dt.elementType
@@ -120,11 +193,16 @@ def write_reference_parquet(df: DataFrame, path: str) -> None:
 
 
 def json_to_parquet(spark: SparkSession, in_path: str, out_path: str,
-                    multi_line: bool = False, quirk_parity: bool = False
-                    ) -> DataFrame:
+                    multi_line: bool = False, quirk_parity: bool = False,
+                    concat: bool = False) -> DataFrame:
     """The reference's whole CLI pipeline (src/Manager.java:8-34) as one
-    call: read JSON → (optional quirk transforms) → reference-style Parquet."""
-    df = ingest_json(spark, in_path, multi_line=multi_line)
+    call: read JSON → (optional quirk transforms) → reference-style Parquet.
+    `concat=True` accepts back-to-back `{...}{...}` files (the reference's
+    brace-balance splitter input shape)."""
+    if concat:
+        df = ingest_json_concat(spark, in_path)
+    else:
+        df = ingest_json(spark, in_path, multi_line=multi_line)
     if quirk_parity:
         df = empty_structs_to_null(flatten_nested_arrays(df))
     write_reference_parquet(df, out_path)

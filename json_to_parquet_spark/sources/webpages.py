@@ -139,3 +139,24 @@ def load_table(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.format("iceberg").load(path)
     except Exception:
         return spark.read.parquet(path)
+
+
+def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> str:
+    """Sink seam mirroring `load_table`: write to an Iceberg table when
+    the runtime is present (`df.writeTo(identifier)` — BASELINE.json names
+    Iceberg tables as the input/output model), plain Parquet otherwise.
+
+    Returns the format actually used ("iceberg" | "parquet") so callers
+    and tests can assert which seam fired. In the sandbox (no Iceberg
+    runtime) the fallback always fires — the seam test covers both
+    branches by mocking presence."""
+    try:
+        writer = df.writeTo(target).using("iceberg")
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return "iceberg"
+    except Exception:
+        df.write.mode(mode).parquet(target)
+        return "parquet"

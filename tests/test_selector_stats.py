@@ -123,3 +123,83 @@ def test_deflate_cascade_roundtrip(spark, tmp_path):
     m2 = pipeline.run_encode(spark, pages, plain, n_chunks=3)
     assert m["enc_bytes"] < m2["enc_bytes"]
     assert pipeline.verify_encoded(spark, pages, out)["ok"]
+
+
+def test_ingest_concatenated_docs(spark, tmp_path):
+    """Back-to-back {...}{...} files (the reference splitter's input,
+    src/JsonFormater.java:32-46) — including braces inside strings and
+    multi-line pretty-printed docs mixed with concatenated ones."""
+    from json_to_parquet_spark.sources import ingest
+    p = tmp_path / "concat.json"
+    p.write_text(
+        '{"a": 1, "s": "has } brace"}{"a": 2, "s": "x"}\n'
+        '{\n  "a": 3,\n  "s": "multi\\nline"\n}{"a": 4, "s": "{{"}'
+    )
+    df = ingest.ingest_json_concat(spark, str(p))
+    rows = {r.a: r.s for r in df.collect()}
+    assert rows == {1: "has } brace", 2: "x", 3: "multi\nline", 4: "{{"}
+
+
+def test_split_concat_docs_escapes():
+    from json_to_parquet_spark.sources.ingest import _split_concat_docs
+    # escaped quote inside string, backslash runs, nested objects
+    blob = r'{"k": "a\"b}", "n": {"x": 1}}{"k": "c\\"}'
+    docs = _split_concat_docs(blob)
+    assert docs == [r'{"k": "a\"b}", "n": {"x": 1}}', r'{"k": "c\\"}']
+    assert _split_concat_docs("") == []
+    assert _split_concat_docs("   \n ") == []
+
+
+def test_write_table_seam(spark, tmp_path):
+    """Sink seam: no Iceberg runtime in the sandbox → parquet fallback
+    fires and round-trips; the iceberg branch is exercised by mocking."""
+    from json_to_parquet_spark.sources.webpages import (load_table,
+                                                        write_table)
+    df = spark.range(5).selectExpr("id", "cast(id as string) as s")
+    out = str(tmp_path / "t")
+    fmt = write_table(df, out)
+    assert fmt == "parquet"
+    assert load_table(spark, out).count() == 5
+
+    class FakeWriter:
+        calls = []
+
+        def using(self, f):
+            FakeWriter.calls.append(f)
+            return self
+
+        def createOrReplace(self):
+            FakeWriter.calls.append("createOrReplace")
+
+        def append(self):
+            FakeWriter.calls.append("append")
+
+    class FakeDF:
+        def writeTo(self, target):
+            FakeWriter.calls.append(("writeTo", target))
+            return FakeWriter()
+
+    assert write_table(FakeDF(), "cat.db.t") == "iceberg"
+    assert FakeWriter.calls == [("writeTo", "cat.db.t"), "iceberg",
+                                "createOrReplace"]
+
+
+def test_tighten_nullability(spark, tmp_path):
+    """required/optional recovery from per-chunk null counts (reference
+    emits `required` for never-null fields, SchemaBuilder.java:91-99)."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from json_to_parquet_spark.plans import pipeline
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("always"),
+        F.when(F.col("id") % 7 == 0, F.col("id")).alias("sometimes_null"))
+    out = str(tmp_path / "enc")
+    pipeline.run_encode(spark, df, out, key="k", n_chunks=4)
+    schema = pipeline.tighten_nullability(spark, out)
+    by_name = {f.name: f.nullable for f in schema.fields}
+    assert by_name == {"k": False, "always": False, "sometimes_null": True}
+    meta = _json.load(open(out + "/table_meta.json"))
+    assert meta["required"] == ["always", "k"]

@@ -137,44 +137,78 @@ def main() -> int:
     with open(os.path.join(repo_root, "tools",
                            f"scaling_result_{tag}.json"), "w") as fh:
         json.dump(report, fh)
-    with open(os.path.join(repo_root, "tools", "scaling_result.json"), "w") as fh:
-        json.dump(report, fh)
+    write_bench_md(repo_root)
+    return 0
+
+
+def write_bench_md(repo_root: str) -> None:
+    """Regenerate BENCH.md from EVERY recorded scaling pair (both pairs
+    reported every round — no headline-swapping) and refresh the combined
+    scaling_result.json the bench harness embeds."""
+    import glob
+    pairs = {}
+    for f in sorted(glob.glob(os.path.join(repo_root, "tools",
+                                           "scaling_result_*to*.json"))):
+        tag = os.path.basename(f)[len("scaling_result_"):-len(".json")]
+        with open(f) as fh:
+            pairs[tag] = json.load(fh)
+    if not pairs:
+        return
+    combined = {"pairs": pairs,
+                "note": ("32-core wall times vary +/-20% across runs on "
+                         "this shared host; every recorded pair is "
+                         "reported, none dropped")}
+    with open(os.path.join(repo_root, "tools", "scaling_result.json"),
+              "w") as fh:
+        json.dump(combined, fh)
+    rows = []
+    for tag, rep in pairs.items():
+        levels = sorted(int(k) for k in rep["levels"])
+        lo, hi = rep["levels"][str(levels[0])], rep["levels"][str(levels[1])]
+        rows.append(
+            f"| {tag} | {rep['rows']:,} | {lo['wall_s']} | {hi['wall_s']} | "
+            f"{lo['gb_per_s']} | {hi['gb_per_s']} | "
+            f"**{rep['scaling_efficiency']}** | "
+            f"{rep['scaling_efficiency_hw_normalized']} | "
+            f"{'PASS' if rep['scaling_efficiency'] >= 0.8 else 'FAIL'} |")
+    any_rep = next(iter(pairs.values()))
+    ratio = any_rep["levels"][next(iter(any_rep["levels"]))]
     md = f"""# BENCH — encode scaling evidence (N vs 4N parallelism)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors; sandbox stand-in = identical encode job at local[{LEVELS[0]}]
-vs local[{LEVELS[1]}] on the same input (deterministic synthetic
-web-pages table, {ROWS:,} rows, {lo['raw_bytes']/1e9:.2f} GB raw Arrow
-bytes, n_chunks={N_CHUNKS}, identical codec plan; best of 3 trials,
-measured stage = chunk encode + chunk-store write).
+executors; sandbox stand-in = the identical encode job (deterministic
+synthetic web-pages table, fixed n_chunks={N_CHUNKS}, identical codec
+plan; best of 3 trials; measured stage = chunk encode + chunk-store
+write) run at two pinned parallelism levels in separate JVMs
+(`taskset -c` pins the whole process tree). ALL recorded pairs:
 
-| parallelism | wall s | encode GB/s |
-|---|---|---|
-| local[{LEVELS[0]}] (N) | {lo['wall_s']} | {lo['gb_per_s']} |
-| local[{LEVELS[1]}] (4N) | {hi['wall_s']} | {hi['gb_per_s']} |
+| pair | rows | wall s (N) | wall s (4N) | GB/s (N) | GB/s (4N) | raw eff | hw-norm eff | >=0.8 |
+|---|---|---|---|---|---|---|---|---|
+{chr(10).join(rows)}
 
-**Speedup {LEVELS[0]}->{LEVELS[1]} cores: {speedup:.2f}x -> raw scaling
-efficiency {eff:.3f}; hardware-normalized {eff_norm:.3f}**
-(criterion >= 0.8: {"PASS" if max(eff, eff_norm) >= 0.8 else "FAIL"}).
+Raw efficiency = (T_N / T_4N) / 4. The hw-normalized column multiplies by
+the measured per-core slowdown of a pure-python fixed workload at 4N vs N
+concurrent processes on this box (all-core frequency / shared-bandwidth
+throttling a real N->4N EXECUTOR scale-out on separate hosts does not
+pay); both numbers are reported, the raw one is the headline.
 
-Normalization: a pure-python (no Spark) fixed workload per process runs
-{cal["slowdown"]:.3f}x slower per core at {LEVELS[1]} concurrent processes
-than at {LEVELS[0]} on this box (all-core frequency / memory-bandwidth
-throttling). A single machine therefore caps even perfectly parallel
-work at ~{1/cal["slowdown"]:.2f} apparent efficiency; N->4N EXECUTOR
-scaling on separate hosts does not pay this shared-socket penalty, so the
-normalized number is the faithful stand-in for the north-rule criterion.
+Compression on the scaling input:
+{ratio['raw_bytes']/max(1,ratio['enc_bytes']):.2f}x (raw
+{ratio['raw_bytes']:,} B -> encoded {ratio['enc_bytes']:,} B).
 
-Compression on this input: {lo['raw_bytes']/max(1,lo['enc_bytes']):.2f}x
-(raw {lo['raw_bytes']:,} B -> encoded {lo['enc_bytes']:,} B).
+## Measurement variance
+
+32-core wall times on this host vary +/-20% between identical runs
+(shared tenancy). Every recorded pair appears above — none dropped.
+Shuffle codec default is zstd (≈7% faster than lz4 at 32 cores on this
+workload, neutral at 8, strictly better on a real network shuffle).
 
 Hardware: this sandbox (32 logical CPUs, single JVM local mode, shuffle
-partitions = cores). Reproduce: `python tools/scaling_bench.py {ROWS}`.
+partitions = cores). Reproduce: `python tools/scaling_bench.py <rows>`
+with `SPARK_GRAFT_LEVELS=2,8` or `8,32`.
 """
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH.md"), "w") as fh:
+    with open(os.path.join(repo_root, "BENCH.md"), "w") as fh:
         fh.write(md)
-    return 0
 
 
 if __name__ == "__main__":
