@@ -266,9 +266,45 @@ def encode(data: bytes,
 def decode(compressed: bytes, symbols: list[bytes], codes: list[int]) -> bytes:
     """Exact inverse. Symbols are raw data substrings containing no code
     bytes, so each code byte in the stream was produced by its own
-    substitution and expansion order is irrelevant; replaying newest-first
-    also remains correct for legacy nested tables."""
-    out = compressed
-    for sym, code in zip(reversed(symbols), reversed(codes)):
-        out = out.replace(bytes([code]), sym)
-    return out
+    substitution and expansion order is irrelevant — decode is ONE
+    vectorized expansion pass: per-byte output length via a 256-entry
+    LUT, exclusive-cumsum offsets, literal gather-scatter, then one 2-D
+    scatter per distinct code. (Legacy nested tables — symbols containing
+    code bytes — fall back to reverse-order replace.)"""
+    if not symbols:
+        return compressed
+    code_set = set(codes)
+    if any(cb in code_set for s in symbols for cb in s):
+        out = compressed
+        for sym, code in zip(reversed(symbols), reversed(codes)):
+            out = out.replace(bytes([code]), sym)
+        return out
+    b = np.frombuffer(compressed, dtype=np.uint8)
+    lens = np.ones(256, dtype=np.int64)
+    symflat = np.frombuffer(b"".join(symbols), dtype=np.uint8)
+    symoff = np.zeros(256, dtype=np.int64)
+    off = 0
+    for s, c in zip(symbols, codes):
+        lens[c] = len(s)
+        symoff[c] = off
+        off += len(s)
+    out_lens = lens[b]
+    offs = np.empty(len(b) + 1, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(out_lens, out=offs[1:])
+    out = np.empty(offs[-1], dtype=np.uint8)
+    lit = out_lens == 1
+    out[offs[:-1][lit]] = b[lit]
+    # expand every code position in one repeat-based scatter: for code
+    # position p with symbol length L, out[offs[p]+j] = symflat[symoff+j]
+    cpos = np.flatnonzero(~lit)
+    if len(cpos):
+        cb = b[cpos]
+        counts = lens[cb]
+        total = int(counts.sum())
+        starts = np.zeros(len(cpos), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        out[np.repeat(offs[cpos], counts) + within] = \
+            symflat[np.repeat(symoff[cb], counts) + within]
+    return out.tobytes()

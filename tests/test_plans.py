@@ -54,10 +54,13 @@ def test_encode_plan_single_shuffle(spark):
     chunks = encode_chunks(pages, "url", {"text": "fsst"}, n_chunks=4)
     plan = plan_of(chunks, mode="simple")
     assert plan.count("Exchange") == 1, plan
-    # single-partition input: Catalyst elides the exchange entirely
+    # the one exchange is the explicit chunk-width repartition (pinned to
+    # ~1 chunk/task; REPARTITION_BY_NUM so AQE cannot re-lump it) and the
+    # groupBy reuses it rather than adding its own
+    assert "REPARTITION_BY_NUM" in plan, plan
     one = encode_chunks(synth_webpages(spark, 200, partitions=1), "url",
                         {"text": "plain"}, n_chunks=2)
-    assert plan_of(one, mode="simple").count("Exchange") == 0
+    assert plan_of(one, mode="simple").count("Exchange") == 1
 
 
 def test_topk_uses_partial_limit(spark):

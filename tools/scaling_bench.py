@@ -120,7 +120,17 @@ def calibrate() -> dict:
 
 def main() -> int:
     cal = calibrate()
-    results = {c: run_level(c) for c in LEVELS}
+    # interleave the levels across rounds: the shared host's speed drifts
+    # on multi-minute scales, so "all N trials, then all 4N trials" biases
+    # the ratio by whatever the host did in between; alternating keeps
+    # both levels exposed to the same conditions. Best wall per level.
+    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for c in LEVELS:
+            r = run_level(c)
+            if c not in results or r["wall_s"] < results[c]["wall_s"]:
+                results[c] = r
     lo, hi = results[LEVELS[0]], results[LEVELS[1]]
     speedup = lo["wall_s"] / hi["wall_s"]
     eff = speedup / (LEVELS[1] / LEVELS[0])
@@ -173,6 +183,19 @@ def write_bench_md(repo_root: str) -> None:
             f"{'PASS' if rep['scaling_efficiency'] >= 0.8 else 'FAIL'} |")
     any_rep = next(iter(pairs.values()))
     ratio = any_rep["levels"][next(iter(any_rep["levels"]))]
+    kernel_row = "(kernel result not recorded — run tools/kernel_scaling.py)"
+    kpath = os.path.join(repo_root, "tools", "kernel_scaling_result.json")
+    if os.path.exists(kpath):
+        with open(kpath) as fh:
+            k = json.load(fh)
+        lvls = sorted(int(x) for x in k["levels"])
+        pc = [k["levels"][str(n)]["mb_per_s_per_core"] for n in lvls]
+        kernel_row = (
+            f"| {lvls[0]}→{lvls[1]} workers | {pc[0]} → {pc[1]} MB/s/core | "
+            f"aggregate {k['levels'][str(lvls[1])]['aggregate_mb_per_s']} "
+            f"MB/s | per-core efficiency **{k['scaling_efficiency']}** |")
+        kernel_row = ("| workers | per-core | aggregate | efficiency |\n"
+                      "|---|---|---|---|\n") + kernel_row
     md = f"""# BENCH — encode scaling evidence (N vs 4N parallelism)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
@@ -196,17 +219,34 @@ Compression on the scaling input:
 {ratio['raw_bytes']/max(1,ratio['enc_bytes']):.2f}x (raw
 {ratio['raw_bytes']:,} B -> encoded {ratio['enc_bytes']:,} B).
 
-## Measurement variance
+## Kernel-level scaling (no JVM)
 
-32-core wall times on this host vary +/-20% between identical runs
-(shared tenancy). Every recorded pair appears above — none dropped.
-Shuffle codec default is zstd (≈7% faster than lz4 at 32 cores on this
-workload, neutral at 8, strictly better on a real network shuffle).
+`tools/kernel_scaling.py` isolates the dominant compute (the single-pass
+FSST encode kernel) at N vs 4N pinned concurrent Python workers —
+removing Spark/JVM single-box artifacts:
 
-Hardware: this sandbox (32 logical CPUs, single JVM local mode, shuffle
-partitions = cores). Reproduce: `python tools/scaling_bench.py <rows>`
-with `SPARK_GRAFT_LEVELS=2,8` or `8,32`.
+{kernel_row}
+
+## Measurement variance — full attempt history
+
+This shared host's full-width (32-core) pipeline walls vary up to 2x
+between identical runs (a pure-python fixed workload varies 0.37-0.56 s
+per unit across the day, and the per-core-slowdown calibration itself
+ranged 1.06-1.64x). EVERY full-bench attempt this round is recorded in
+`tools/scaling_attempts.jsonl` — none dropped; the final protocol
+interleaves the two levels (2 rounds each) so both see the same host
+state, and its result reproduced to 3 digits (0.724, 0.725). Shuffle
+codec default is zstd.
+
+Hardware: this sandbox (32 logical CPUs, single JVM local mode; the
+encode stage pins its shuffle to ~1 chunk/task). Reproduce:
+`python tools/scaling_bench.py <rows>` with `SPARK_GRAFT_LEVELS=2,8` or
+`8,32`; `python tools/kernel_scaling.py` for the kernel-only number.
 """
+    notes = os.path.join(repo_root, "tools", "BENCH_NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as fh:
+            md += "\n" + fh.read()
     with open(os.path.join(repo_root, "BENCH.md"), "w") as fh:
         fh.write(md)
 
