@@ -72,3 +72,38 @@ def test_timestamp_roundtrip(vals, codec):
        codec=st.sampled_from(["plain", "rle"]))
 def test_bool_roundtrip(vals, codec):
     roundtrip(pa.array(vals, type=pa.bool_()), codec)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.dictionaries(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=1, max_size=8),
+    st.one_of(st.integers(-2**31, 2**31), st.text(max_size=20),
+              st.booleans(), st.none()),
+    max_size=4), min_size=1, max_size=8),
+    st.sampled_from(["", " ", "\n", "\t\n "]))
+def test_concat_splitter_property(docs, sep):
+    """Concatenating arbitrary JSON objects (any separator, incl. none)
+    and splitting must recover exactly the original documents."""
+    import json as _json
+
+    from json_to_parquet_spark.sources.ingest import _split_concat_docs
+    rendered = [_json.dumps(d, ensure_ascii=False) for d in docs]
+    blob = sep.join(rendered)
+    got = _split_concat_docs(blob)
+    assert [_json.loads(g) for g in got] == docs
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_fsst_apply_table_roundtrip_property(data):
+    """Direct kernel property: whenever encode applies, decode restores
+    the exact bytes (hits the end-of-blob window, free-code, and empty
+    paths on random binary)."""
+    from json_to_parquet_spark.functions.codecs import fsst
+    res = fsst.encode(data)
+    if res is None:
+        return  # inapplicable (no free codes / no gain) is a valid outcome
+    enc, symbols, codes = res
+    assert len(enc) < len(data)
+    assert fsst.decode(enc, symbols, codes) == data
