@@ -188,7 +188,7 @@ def _fsst_apply(data: bytes, symbols: list[bytes], codes: list[int]):
     counts = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
     if any(counts[c] for c in codes):
         return None
-    return fsst.apply_table(data, symbols, codes)
+    return fsst.apply_tables(data, symbols, codes)
 
 
 def _encode_bytes(values: pa.Array, codec: str, params: dict | None = None):

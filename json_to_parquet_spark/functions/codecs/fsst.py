@@ -246,39 +246,109 @@ def apply_table(data: bytes, symbols: list[bytes], codes: list[int]
     return enc if len(enc) < n else None
 
 
+def build_tables(data: bytes, free: list[int],
+                 max_symbols: int = _DEFAULT_MAX_SYMBOLS,
+                 ) -> tuple[list[bytes], list[int]]:
+    """TWO-LEVEL symbol tables: level-1 symbols are raw substrings of
+    `data`; level-2 symbols are substrings of the level-1-encoded stream
+    and may contain level-1 CODES — the canonical symbols-of-symbols
+    trick that reaches effective lengths beyond 8 raw bytes (big on
+    highly structured text like URLs). Returned flat, in application
+    order; `decode` re-derives the level of each symbol from which codes
+    it contains, so the storage format is unchanged."""
+    s1, c1 = build_symbol_table(data, free, max_symbols)
+    if not s1:
+        return s1, c1
+    enc1 = apply_table(data[:_MAX_SAMPLE], s1, c1)
+    budget = max_symbols - len(s1)
+    if enc1 is None or budget < 8:
+        return s1, c1
+    # level-2 codes come from the REMAINDER of the original free list:
+    # free in the full raw data and distinct from level-1 codes, so they
+    # can never occur anywhere in the level-1-encoded stream (enc1 bytes
+    # ⊆ data bytes ∪ c1) — the invertibility requirement. Bytes merely
+    # absent from the encoded SAMPLE would not be safe.
+    free2 = free[len(s1):]
+    s2, c2 = build_symbol_table(enc1, free2, budget)
+    if not s2:
+        return s1, c1
+    # keep level 2 only where it pays: the second apply pass costs ~30%
+    # extra encode time on such columns, so demand a real size win (URL-
+    # like structured text easily clears this; prose rarely does)
+    enc2 = apply_table(enc1, s2, c2)
+    if enc2 is None or len(enc2) > 0.85 * len(enc1):
+        return s1, c1
+    return s1 + s2, c1 + c2
+
+
+def _symbol_levels(symbols: list[bytes], codes: list[int]) -> list[int]:
+    """Level of each symbol: 1 + max level of any code byte it contains
+    (1 for raw symbols). Returns [] if a symbol references a code
+    assigned at its own position or later (legacy/foreign table — caller
+    must fall back to ordered replace)."""
+    code_level: dict[int, int] = {}
+    levels: list[int] = []
+    for i, (s, c) in enumerate(zip(symbols, codes)):
+        lv = 1
+        for b in s:
+            if b in code_level:
+                lv = max(lv, code_level[b] + 1)
+            elif b in codes[i:] or b == c:
+                return []  # forward reference — not level-structured
+        levels.append(lv)
+        code_level[c] = lv
+    return levels
+
+
+def apply_tables(data: bytes, symbols: list[bytes], codes: list[int]
+                 ) -> bytes | None:
+    """Apply a (possibly multi-level) symbol table: one vectorized
+    longest-match pass PER LEVEL, ascending — level-2 symbols only exist
+    in the level-1-encoded stream. Falls back to the ordered replace
+    loop for tables that are not level-structured. Returns None when the
+    result would not shrink."""
+    levels = _symbol_levels(symbols, codes)
+    if not levels:  # legacy/foreign nested table
+        out = data
+        for sym, code in zip(symbols, codes):
+            out = out.replace(sym, bytes([code]))
+        return out if len(out) < len(data) else None
+    out = data
+    for lv in range(1, max(levels) + 1):
+        s = [x for x, l_ in zip(symbols, levels) if l_ == lv]
+        c = [x for x, l_ in zip(codes, levels) if l_ == lv]
+        nxt = apply_table(out, s, c)
+        if nxt is not None:
+            out = nxt
+    return out if len(out) < len(data) else None
+
+
 def encode(data: bytes,
            max_symbols: int = _DEFAULT_MAX_SYMBOLS,
            ) -> tuple[bytes, list[bytes], list[int]] | None:
-    """Compress the blob. Returns (compressed, symbols, codes) or None when
-    inapplicable (no free code bytes / no gain)."""
+    """Compress the blob (two-level greedy longest-match). Returns
+    (compressed, symbols, codes) or None when inapplicable (no free code
+    bytes / no gain)."""
     free = free_code_bytes(data)
     if len(free) < 4:
         return None
-    symbols, codes = build_symbol_table(data, free, max_symbols)
+    symbols, codes = build_tables(data, free, max_symbols)
     if not symbols:
         return None
-    out = apply_table(data, symbols, codes)
+    out = apply_tables(data, symbols, codes)
     if out is None:
         return None
     return out, symbols, codes
 
 
-def decode(compressed: bytes, symbols: list[bytes], codes: list[int]) -> bytes:
-    """Exact inverse. Symbols are raw data substrings containing no code
-    bytes, so each code byte in the stream was produced by its own
-    substitution and expansion order is irrelevant — decode is ONE
-    vectorized expansion pass: per-byte output length via a 256-entry
-    LUT, exclusive-cumsum offsets, literal gather-scatter, then one 2-D
-    scatter per distinct code. (Legacy nested tables — symbols containing
-    code bytes — fall back to reverse-order replace.)"""
-    if not symbols:
-        return compressed
-    code_set = set(codes)
-    if any(cb in code_set for s in symbols for cb in s):
-        out = compressed
-        for sym, code in zip(reversed(symbols), reversed(codes)):
-            out = out.replace(bytes([code]), sym)
-        return out
+def _expand(compressed: bytes, symbols: list[bytes],
+            codes: list[int]) -> bytes:
+    """One vectorized expansion pass for a SINGLE level: per-byte output
+    length via a 256-entry LUT, exclusive-cumsum offsets, literal
+    gather-scatter, then one repeat-based scatter for all code
+    positions. Valid because these symbols contain none of these codes,
+    so every code byte in the stream was produced by its own
+    substitution and expansion order within the level is irrelevant."""
     b = np.frombuffer(compressed, dtype=np.uint8)
     lens = np.ones(256, dtype=np.int64)
     symflat = np.frombuffer(b"".join(symbols), dtype=np.uint8)
@@ -295,8 +365,6 @@ def decode(compressed: bytes, symbols: list[bytes], codes: list[int]) -> bytes:
     out = np.empty(offs[-1], dtype=np.uint8)
     lit = out_lens == 1
     out[offs[:-1][lit]] = b[lit]
-    # expand every code position in one repeat-based scatter: for code
-    # position p with symbol length L, out[offs[p]+j] = symflat[symoff+j]
     cpos = np.flatnonzero(~lit)
     if len(cpos):
         cb = b[cpos]
@@ -308,3 +376,25 @@ def decode(compressed: bytes, symbols: list[bytes], codes: list[int]) -> bytes:
         out[np.repeat(offs[cpos], counts) + within] = \
             symflat[np.repeat(symoff[cb], counts) + within]
     return out.tobytes()
+
+
+def decode(compressed: bytes, symbols: list[bytes], codes: list[int]) -> bytes:
+    """Exact inverse: one vectorized expansion pass per level, highest
+    level first (a level's symbols may contain LOWER-level codes — those
+    expand in the subsequent passes). Tables that are not
+    level-structured (legacy/foreign) fall back to reverse-order
+    replace."""
+    if not symbols:
+        return compressed
+    levels = _symbol_levels(symbols, codes)
+    if not levels:
+        out = compressed
+        for sym, code in zip(reversed(symbols), reversed(codes)):
+            out = out.replace(bytes([code]), sym)
+        return out
+    out = compressed
+    for lv in range(max(levels), 0, -1):
+        s = [x for x, l_ in zip(symbols, levels) if l_ == lv]
+        c = [x for x, l_ in zip(codes, levels) if l_ == lv]
+        out = _expand(out, s, c)
+    return out

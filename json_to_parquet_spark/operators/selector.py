@@ -114,7 +114,7 @@ def build_codec_plan(stats_by_col: dict[str, dict], schema: T.StructType,
             if blob and words:
                 used = longs_to_bitmask(words)
                 free = [int(i) for i in np.flatnonzero(~used)]
-                symbols, codes = fsst.build_symbol_table(blob, free)
+                symbols, codes = fsst.build_tables(blob, free)
                 if symbols:
                     entry["symbols"] = symbols
                     entry["codes"] = codes
