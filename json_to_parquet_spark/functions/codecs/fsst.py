@@ -149,6 +149,11 @@ def _match_table(symbols: list[bytes], codes: list[int]
     the flattened intervals in O(k log k)."""
     syms = []
     for s, c in zip(symbols, codes):
+        # the 8-byte-window match can only see 8 bytes; a longer symbol
+        # would match its prefix yet consume len(s) bytes — corruption.
+        # Internal tables are capped at 8 by _NGRAM_SIZES; foreign tables
+        # are routed to the ordered-replace fallback by apply_tables.
+        assert len(s) <= 8, f"symbol longer than 8 bytes: {s!r}"
         lo = int.from_bytes(s[:8].ljust(8, b"\x00"), "big")
         hi = lo + (1 << (8 * (8 - min(len(s), 8))))
         syms.append((lo, -hi, len(s), c))
@@ -308,7 +313,11 @@ def apply_tables(data: bytes, symbols: list[bytes], codes: list[int]
     loop for tables that are not level-structured. Returns None when the
     result would not shrink."""
     levels = _symbol_levels(symbols, codes)
-    if not levels:  # legacy/foreign nested table
+    if not levels or any(len(s) > 8 for s in symbols):
+        # legacy/foreign table: not level-structured, or holds symbols
+        # longer than the 8-byte match window (the vectorized matcher
+        # would match only the first 8 bytes yet replace len(s) bytes) —
+        # use the exact ordered replace loop instead
         out = data
         for sym, code in zip(symbols, codes):
             out = out.replace(sym, bytes([code]))

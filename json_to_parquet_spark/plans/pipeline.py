@@ -217,9 +217,20 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
         if done_count:
             todo_limited = todo_limited.join(F.broadcast(done), "chunk_id",
                                              "left_anti")
-        todo_limited = spark.createDataFrame(
-            todo_limited.orderBy("chunk_id").limit(max_chunks_this_run)
-            .collect())
+        todo_rows = (todo_limited.orderBy("chunk_id")
+                     .limit(max_chunks_this_run).collect())
+        if not todo_rows:
+            # terminal iteration of an incremental driver loop: every chunk
+            # already complete → no-op (createDataFrame on an empty list
+            # would raise CANNOT_INFER_EMPTY_SCHEMA)
+            return {"run_id": None, "n_chunks": n_chunks,
+                    "chunks_encoded": 0, "chunks_skipped": done_count,
+                    "rows": 0, "raw_bytes": 0, "enc_bytes": 0,
+                    "codecs": codecs,
+                    "wall_s": time.perf_counter() - t0,
+                    "stats_s": round(stats_wall, 3),
+                    "encode_s": 0.0, "manifest_s": 0.0}
+        todo_limited = spark.createDataFrame(todo_rows, "chunk_id int")
         chunked = chunked.join(
             F.broadcast(todo_limited.withColumnRenamed("chunk_id", CHUNK_COL)),
             CHUNK_COL, "left_semi")

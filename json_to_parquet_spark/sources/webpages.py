@@ -132,31 +132,57 @@ def synth_webpages(spark: SparkSession, n_rows: int, seed: int = 42,
     )
 
 
-def load_table(spark: SparkSession, path: str) -> DataFrame:
-    """Source seam (SURVEY §7.1): Iceberg when the runtime is present,
-    plain Parquet path otherwise."""
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the session is configured for Iceberg: the Iceberg SQL
+    extensions are registered, or any `spark.sql.catalog.*` entry points
+    at an Iceberg catalog implementation. An explicit configuration probe
+    — NOT a try/except around the write — so genuine Iceberg failures
+    (schema mismatch, permissions, partial write) propagate to the caller
+    instead of being masked as a silent Parquet fallback."""
     try:
-        return spark.read.format("iceberg").load(path)
+        conf = dict(spark.sparkContext.getConf().getAll())
     except Exception:
-        return spark.read.parquet(path)
+        return False
+    if "IcebergSparkSessionExtensions" in conf.get("spark.sql.extensions", ""):
+        return True
+    return any(k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+               for k, v in conf.items())
+
+
+def load_table(spark: SparkSession, target: str) -> DataFrame:
+    """Source seam (SURVEY §7.1).
+
+    Argument contract: with an Iceberg runtime configured, `target` is a
+    CATALOG TABLE IDENTIFIER (`catalog.db.table` — read via
+    `spark.read.format("iceberg").load(identifier)`, per the public
+    Iceberg-Spark docs). Without one (this sandbox), `target` is a
+    FILESYSTEM PATH read as plain Parquet. Callers pick the shape that
+    matches their deployment; the two are not interchangeable."""
+    if iceberg_available(spark):
+        return spark.read.format("iceberg").load(target)
+    return spark.read.parquet(target)
 
 
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> str:
-    """Sink seam mirroring `load_table`: write to an Iceberg table when
-    the runtime is present (`df.writeTo(identifier)` — BASELINE.json names
-    Iceberg tables as the input/output model), plain Parquet otherwise.
+    """Sink seam mirroring `load_table` (BASELINE.json names Iceberg
+    tables as the input/output model).
+
+    Argument contract: with an Iceberg runtime configured, `target` is a
+    CATALOG TABLE IDENTIFIER and the write is `df.writeTo(identifier)`
+    (append / createOrReplace); without one, `target` is a FILESYSTEM
+    PATH written as plain Parquet. Iceberg presence is decided by the
+    explicit `iceberg_available` configuration probe — real Iceberg write
+    errors are never swallowed into a Parquet fallback.
 
     Returns the format actually used ("iceberg" | "parquet") so callers
-    and tests can assert which seam fired. In the sandbox (no Iceberg
-    runtime) the fallback always fires — the seam test covers both
-    branches by mocking presence."""
-    try:
+    and tests can assert which seam fired."""
+    spark = getattr(df, "sparkSession", None)
+    if spark is not None and iceberg_available(spark):
         writer = df.writeTo(target).using("iceberg")
         if mode == "append":
             writer.append()
         else:
             writer.createOrReplace()
         return "iceberg"
-    except Exception:
-        df.write.mode(mode).parquet(target)
-        return "parquet"
+    df.write.mode(mode).parquet(target)
+    return "parquet"

@@ -86,6 +86,22 @@ def test_fsst_inapplicable_on_full_alphabet():
     assert fsst.encode(data) is None
 
 
+def test_fsst_foreign_long_symbol_table():
+    """A foreign/stored table may hold symbols LONGER than the 8-byte
+    match window. The vectorized matcher would match only the first 8
+    bytes yet replace len(s) bytes — silent corruption — so such tables
+    must route to the exact ordered-replace path, and still round-trip."""
+    text = (b"abcdefghijklmno:" + b"the quick brown fox! ") * 400
+    symbols = [b"abcdefghijklmno:", b"quick "]  # 16-byte symbol
+    codes = [0, 1]  # absent from the data
+    enc = fsst.apply_tables(text, symbols, codes)
+    assert enc is not None and len(enc) < len(text)
+    # first symbol must be FULLY consumed (prefix-only matching would
+    # leave the 'ijklmno:' tail behind)
+    assert b"ijklmno:" not in enc
+    assert fsst.decode(enc, symbols, codes) == text
+
+
 # --- column-level adversarial fixtures (F3) ------------------------------------
 
 def _unicode_strings():

@@ -79,6 +79,14 @@ def test_pipeline_resume_identical(spark, pages, tmp_path):
     m2 = pipeline.run_encode(spark, pages, out_a, n_chunks=6)
     assert m2["chunks_skipped"] == 2 and m2["chunks_encoded"] == 4
 
+    # terminal iteration of the incremental loop: all chunks complete AND
+    # max_chunks_this_run still set → must no-op, not crash (empty
+    # createDataFrame raises CANNOT_INFER_EMPTY_SCHEMA when unguarded)
+    m3 = pipeline.run_encode(spark, pages, out_a, n_chunks=6,
+                             max_chunks_this_run=2)
+    assert m3["chunks_encoded"] == 0 and m3["chunks_skipped"] == 6
+    assert m3["run_id"] is None
+
     out_b = str(tmp_path / "oneshot")
     pipeline.run_encode(spark, pages, out_b, n_chunks=6)
 

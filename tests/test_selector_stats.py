@@ -151,15 +151,35 @@ def test_split_concat_docs_escapes():
 
 
 def test_write_table_seam(spark, tmp_path):
-    """Sink seam: no Iceberg runtime in the sandbox → parquet fallback
-    fires and round-trips; the iceberg branch is exercised by mocking."""
-    from json_to_parquet_spark.sources.webpages import (load_table,
+    """Sink seam: the explicit `iceberg_available` config probe decides
+    the branch. No Iceberg runtime in the sandbox → path-shaped target,
+    parquet fallback fires and round-trips; the iceberg branch (an
+    identifier-shaped target via writeTo) is exercised by mocking a
+    session whose conf registers the Iceberg extensions."""
+    from json_to_parquet_spark.sources.webpages import (iceberg_available,
+                                                        load_table,
                                                         write_table)
+    assert not iceberg_available(spark)
     df = spark.range(5).selectExpr("id", "cast(id as string) as s")
     out = str(tmp_path / "t")
-    fmt = write_table(df, out)
+    fmt = write_table(df, out)  # path-shaped target → parquet branch
     assert fmt == "parquet"
     assert load_table(spark, out).count() == 5
+
+    class FakeConf:
+        def getAll(self):
+            return [("spark.sql.extensions",
+                     "org.apache.iceberg.spark.extensions."
+                     "IcebergSparkSessionExtensions"),
+                    ("spark.sql.catalog.cat",
+                     "org.apache.iceberg.spark.SparkCatalog")]
+
+    class FakeContext:
+        def getConf(self):
+            return FakeConf()
+
+    class FakeSession:
+        sparkContext = FakeContext()
 
     class FakeWriter:
         calls = []
@@ -175,13 +195,33 @@ def test_write_table_seam(spark, tmp_path):
             FakeWriter.calls.append("append")
 
     class FakeDF:
+        sparkSession = FakeSession()
+
         def writeTo(self, target):
             FakeWriter.calls.append(("writeTo", target))
             return FakeWriter()
 
+    assert iceberg_available(FakeSession())
+    # identifier-shaped target → iceberg branch (writeTo identifier)
     assert write_table(FakeDF(), "cat.db.t") == "iceberg"
     assert FakeWriter.calls == [("writeTo", "cat.db.t"), "iceberg",
                                 "createOrReplace"]
+    FakeWriter.calls.clear()
+    assert write_table(FakeDF(), "cat.db.t", mode="append") == "iceberg"
+    assert FakeWriter.calls == [("writeTo", "cat.db.t"), "iceberg", "append"]
+
+    class FailingWriter(FakeWriter):
+        def createOrReplace(self):
+            raise RuntimeError("schema mismatch")
+
+    class FailingDF(FakeDF):
+        def writeTo(self, target):
+            return FailingWriter()
+
+    # a REAL iceberg write error propagates — never a silent parquet write
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="schema mismatch"):
+        write_table(FailingDF(), "cat.db.t")
 
 
 def test_tighten_nullability(spark, tmp_path):

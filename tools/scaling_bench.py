@@ -62,9 +62,11 @@ def run_level(cores: int) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _CHILD.format(repo=repo, cores=cores, rows=ROWS, n_chunks=N_CHUNKS)
     env = dict(os.environ)
-    # big-heap child: the measured stage moves GBs through the JVM; a
-    # small heap turns the benchmark into a GC benchmark
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # heap scales with cores (3 GB/core): a real N→4N EXECUTOR scale-out
+    # has constant per-core heap (each executor brings its own); a fixed
+    # total would hand the N side 4× the per-core memory and turn the 4N
+    # leg into a GC benchmark
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{3 * cores}g")
     # pin the WHOLE process tree (JVM + python workers) to `cores` CPUs —
     # local[8] alone would still spread JVM/worker threads over all 32
     # CPUs, which is not what an 8-core cluster node looks like
@@ -123,23 +125,35 @@ def main() -> int:
     # interleave the levels across rounds: the shared host's speed drifts
     # on multi-minute scales, so "all N trials, then all 4N trials" biases
     # the ratio by whatever the host did in between; alternating keeps
-    # both levels exposed to the same conditions. Best wall per level.
-    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
-    results: dict[int, dict] = {}
-    for _ in range(rounds):
-        for c in LEVELS:
-            r = run_level(c)
-            if c not in results or r["wall_s"] < results[c]["wall_s"]:
-                results[c] = r
-    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
-    speedup = lo["wall_s"] / hi["wall_s"]
-    eff = speedup / (LEVELS[1] / LEVELS[0])
+    # both levels exposed to the same conditions. Efficiency is computed
+    # PER ROUND from same-round wall pairs (mixing the N leg of one round
+    # with the 4N leg of another would re-introduce exactly the drift
+    # bias the interleaving removes, max-of-noise biased upward), and the
+    # MEDIAN round is recorded (lower median for even counts —
+    # conservative); every round is kept in the report.
+    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+    per_round: list[dict] = []
+    for i in range(rounds):
+        pair = {c: run_level(c) for c in LEVELS}
+        lo, hi = pair[LEVELS[0]], pair[LEVELS[1]]
+        speedup = lo["wall_s"] / hi["wall_s"]
+        eff = speedup / (LEVELS[1] / LEVELS[0])
+        per_round.append({
+            "round": i, "levels": pair, "speedup": round(speedup, 2),
+            "scaling_efficiency": round(eff, 3)})
+        print(json.dumps({"round_result": per_round[-1]}), flush=True)
+    ordered = sorted(per_round, key=lambda r: r["scaling_efficiency"])
+    rec = ordered[(len(ordered) - 1) // 2]  # lower median
+    eff = rec["scaling_efficiency"]
     eff_norm = eff * cal["slowdown"]
     report = {
-        "rows": ROWS, "n_chunks": N_CHUNKS, "levels": results,
-        "speedup": round(speedup, 2), "scaling_efficiency": round(eff, 3),
+        "rows": ROWS, "n_chunks": N_CHUNKS, "levels": rec["levels"],
+        "speedup": rec["speedup"], "scaling_efficiency": eff,
         "calibration_percore_slowdown_at_4N": cal["slowdown"],
         "scaling_efficiency_hw_normalized": round(eff_norm, 3),
+        "protocol": "median round of same-round interleaved pairs",
+        "all_rounds": [{k: v for k, v in r.items() if k != "levels"}
+                       for r in per_round],
     }
     print(json.dumps(report))
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
