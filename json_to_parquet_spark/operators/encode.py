@@ -182,21 +182,80 @@ def _decode_group_fn(schema: T.StructType, arrow_schema: pa.Schema):
     return fn
 
 
+def _decode_map_fn(schema: T.StructType, arrow_schema: pa.Schema):
+    """Shuffle-free decode: group chunk rows by chunk_id WITHIN each scan
+    task. Valid because every producer emits whole chunks per partition —
+    the chunk store is one file per chunk (parquet files split only at
+    row-group boundaries, and a chunk's handful of payload rows is one
+    row group), and encode_chunks's output is grouped by chunk id. A
+    chunk decodes (and its buffers release) the moment its last column
+    row is seen, so peak memory is ~one chunk regardless of task size."""
+    columns = [f.name for f in schema.fields]
+    expected = frozenset(columns)
+
+    def fn(batches):
+        pending: dict[int, dict[str, tuple[str, bytes]]] = {}
+
+        def emit(got: dict[str, tuple[str, bytes]]):
+            arrays = {}
+            for name, (meta_s, payload) in got.items():
+                arrays[name] = decode_column(payload, meta_from_json(meta_s))
+            table = pa.table(
+                {c: arrays[c].cast(arrow_schema.field(c).type)
+                 for c in columns}, schema=arrow_schema)
+            yield from table.to_batches()
+
+        for rb in batches:
+            idx = {n: rb.schema.get_field_index(n)
+                   for n in ("chunk_id", "column", "meta", "payload")}
+            cids = rb.column(idx["chunk_id"]).to_pylist()
+            names = rb.column(idx["column"]).to_pylist()
+            metas = rb.column(idx["meta"]).to_pylist()
+            payloads = rb.column(idx["payload"])
+            for i, (cid, name) in enumerate(zip(cids, names)):
+                if name not in expected:
+                    continue
+                got = pending.setdefault(cid, {})
+                got[name] = (metas[i], bytes(payloads[i].as_py()))
+                if len(got) == len(expected):
+                    yield from emit(pending.pop(cid))
+        if pending:
+            raise RuntimeError(
+                f"chunks {sorted(pending)} are missing column rows within "
+                f"this task — their rows straddle scan partitions (multi-"
+                f"row-group chunk file?). Decode with shuffle=True.")
+    return fn
+
+
 def decode_chunks(chunks: DataFrame, schema: T.StructType,
-                  columns: list[str] | None = None) -> DataFrame:
+                  columns: list[str] | None = None,
+                  shuffle: bool = False) -> DataFrame:
     """Inverse of encode_chunks: encoded chunk rows → original-schema rows.
 
     `columns` selects a subset to decode — the untouched columns' payloads
     are never read (the filter on `column` pushes down to the chunk-store
-    parquet scan), the columnar payoff of the format."""
+    parquet scan), the columnar payoff of the format.
+
+    Default is the SHUFFLE-FREE path: `mapInArrow` over the scan, grouping
+    rows by chunk id within each task. Both producers of chunk rows keep
+    whole chunks inside one partition (the store is one file per chunk;
+    encode output is grouped by chunk id), so at the 100 TB design point
+    this reads the table back with ZERO payload Exchange — the groupBy
+    variant (`shuffle=True`) re-shuffled every encoded byte just to
+    co-locate rows that already were. The map path detects the (not
+    observed in practice) straddling case and fails with instructions
+    rather than decoding wrongly."""
     if columns is not None:
         schema = T.StructType([f for f in schema.fields
                                if f.name in set(columns)])
         chunks = chunks.filter(F.col("column").isin(list(columns)))
     tz = chunks.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     aschema = arrow_schema_for(schema, tz=tz)
-    return chunks.groupBy("chunk_id").applyInArrow(
-        _decode_group_fn(schema, aschema), schema=schema)
+    if shuffle:
+        return chunks.groupBy("chunk_id").applyInArrow(
+            _decode_group_fn(schema, aschema), schema=schema)
+    sel = chunks.select("chunk_id", "column", "meta", "payload")
+    return sel.mapInArrow(_decode_map_fn(schema, aschema), schema=schema)
 
 
 def verify_roundtrip(src: DataFrame, decoded: DataFrame, key: str) -> DataFrame:

@@ -63,6 +63,53 @@ def test_encode_plan_single_shuffle(spark):
     assert plan_of(one, mode="simple").count("Exchange") == 1
 
 
+def test_decode_plan_shuffle_free(spark, tmp_path):
+    """read_encoded must decode the chunk store with ZERO Exchange: the
+    store is laid out one file per chunk, so the mapInArrow decode groups
+    rows in-task — at 100 TB the old groupBy path re-shuffled every
+    encoded payload byte just to read the table back."""
+    from json_to_parquet_spark.plans import pipeline
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    pages = synth_webpages(spark, 800, partitions=4)
+    out = str(tmp_path / "store")
+    pipeline.run_encode(spark, pages, out, n_chunks=3)
+    decoded = pipeline.read_encoded(spark, out)
+    plan = plan_of(decoded, mode="simple")
+    assert "Exchange" not in plan, plan
+    assert decoded.count() == 800
+    # zone-map pruned read: exchanges may only touch the tiny manifest id
+    # set (the distinct beneath the BroadcastExchange) — never payload
+    # rows, so every Exchange line must sit BELOW the BroadcastExchange
+    # in the plan tree (the payload scan feeds MapInArrow directly)
+    pruned = pipeline.read_encoded(spark, out, columns=["lang"],
+                                   where=("lang", "aa", "zz"))
+    plan2 = plan_of(pruned, mode="simple")
+    lines = plan2.splitlines()
+    bcast_at = next(i for i, ln in enumerate(lines)
+                    if "BroadcastExchange" in ln)
+    for i, ln in enumerate(lines):
+        if "Exchange" in ln and "BroadcastExchange" not in ln:
+            assert i > bcast_at, plan2  # manifest-side subtree only
+
+
+def test_decode_map_detects_straddled_chunk(spark):
+    """A chunk whose column rows straddle scan partitions must FAIL with
+    instructions (shuffle=True), never decode wrongly."""
+    import pytest
+    from json_to_parquet_spark.operators.encode import (decode_chunks,
+                                                        encode_chunks)
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    pages = synth_webpages(spark, 300, partitions=2)
+    chunks = encode_chunks(pages, "url", {"text": "plain"}, n_chunks=2)
+    # repartition WITHOUT the chunk key: rows of one chunk now spread
+    # over several partitions — the map-path decode must refuse
+    straddled = chunks.repartition(6)
+    with pytest.raises(Exception, match="straddle|shuffle=True"):
+        decode_chunks(straddled, pages.schema).count()
+    # the documented fallback handles exactly this shape
+    assert decode_chunks(straddled, pages.schema, shuffle=True).count() == 300
+
+
 def test_topk_uses_partial_limit(spark):
     """orderBy().limit(k) must plan TakeOrderedAndProject, not a full
     global sort."""
