@@ -83,6 +83,56 @@ def test_stateful_dedup_stream(spark, tmp_path):
     assert got2.select("url").distinct().count() == 1500
 
 
+def test_bloom_dedup_state_constant_size():
+    """The north-scale property: Bloom state bytes per bucket must be
+    CONSTANT across batches (the exact mode's blob grows with every key
+    ever seen — at 10^12 urls that is terabytes of per-batch state
+    churn). Drives the bucket function directly over 3 batches."""
+    import numpy as np
+    import pandas as pd
+
+    from json_to_parquet_spark.streaming.encode_stream import \
+        _bloom_bucket_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    bits = 1 << 16
+    fn = _bloom_bucket_fn(["k", "v"], bloom_bits=bits, bloom_hashes=4)
+    state = FakeState()
+    rng = np.random.default_rng(7)
+    all_keys = rng.choice(2**62, size=900, replace=False).astype(np.int64)
+    seen_out: list[np.ndarray] = []
+    sizes = []
+    for b in range(3):
+        # each batch: 300 new keys + re-delivery of every prior key
+        new = all_keys[b * 300:(b + 1) * 300]
+        redeliver = all_keys[:b * 300]
+        kh = np.concatenate([redeliver, new, new[:5]])  # + in-batch dups
+        pdf = pd.DataFrame({"k": kh.astype("int64"), "v": kh,
+                            "__kh": kh.astype("int64")})
+        out = list(fn((0,), iter([pdf]), state))
+        kept = (pd.concat(out)["k"].to_numpy() if out
+                else np.empty(0, np.int64))
+        seen_out.append(kept)
+        sizes.append(len(state.get[0]))
+    assert sizes == [bits // 8] * 3          # constant state size
+    # every batch kept exactly its 300 new keys (no FP at this load:
+    # 900 keys in 2^16 bits, k=4 → FP ~ 1e-5; deterministic seed)
+    for b in range(3):
+        assert sorted(seen_out[b]) == sorted(all_keys[b * 300:(b + 1) * 300])
+
+
 def test_cli_end_to_end(tmp_path):
     env_script = f"""
 import sys; sys.path.insert(0, "/root/repo")
