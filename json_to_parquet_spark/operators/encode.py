@@ -258,14 +258,44 @@ def decode_chunks(chunks: DataFrame, schema: T.StructType,
     return sel.mapInArrow(_decode_map_fn(schema, aschema), schema=schema)
 
 
-def verify_roundtrip(src: DataFrame, decoded: DataFrame, key: str) -> DataFrame:
-    """Per-column bit-identity check: join on `key`, count mismatches.
+def verify_roundtrip(src: DataFrame, decoded: DataFrame, key: str,
+                     mode: str = "join") -> DataFrame:
+    """Per-column bit-identity check. Returns one row: `rows`,
+    `key_missing`, and one `<col>_bad` count per column — all zeros (and
+    matching row counts) = round-trip success.
 
-    Returns one row: total rows joined + one `<col>_bad` count per column
-    (null-safe equality; binary/string compare byte-exactly). All-zero
-    `_bad` counts + matching row counts = round-trip success.
-    """
+    mode="join": full-outer join on `key`, exact per-row null-safe
+    comparison. Two full scans plus a key shuffle of the entire table —
+    fine as a gate at test scale, a ~100 TB shuffle at the design point.
+
+    mode="checksum": per-column order-independent aggregate checksum
+    `bit_xor(xxhash64(key, col))` computed INDEPENDENTLY on each side —
+    zero join, zero table-data shuffle (each side folds to one row
+    map-side; the only exchanges are single-row partial-agg gathers).
+    Detects any single-row difference with probability 1 - 2^-64-ish;
+    `<col>_bad` is 0/1 (checksums agree or not) rather than a row count.
+    XOR cancellation needs unique keys — guaranteed here (`key` is the
+    chunking key). NULL values hash as absent (Spark hash functions skip
+    NULLs), so value↔NULL flips are still caught via the key term."""
     cols = [f.name for f in src.schema.fields if f.name != key]
+    if mode == "checksum":
+        def side(df: DataFrame, p: str):
+            aggs = [F.count(F.lit(1)).alias(f"{p}_rows"),
+                    F.bit_xor(F.xxhash64(F.col(key))).alias(f"{p}_key")]
+            for c in cols:
+                aggs.append(F.bit_xor(F.xxhash64(F.col(key), F.col(c)))
+                            .alias(f"{p}_{c}"))
+            return df.agg(*aggs)
+        j = side(src, "s").crossJoin(side(decoded, "d"))  # 1 row × 1 row
+        out = [F.col("s_rows").alias("rows"),
+               F.when((F.col("s_rows") == F.col("d_rows"))
+                      & F.col("s_key").eqNullSafe(F.col("d_key")), 0)
+               .otherwise(1).alias("key_missing")]
+        for c in cols:
+            out.append(
+                F.when(F.col(f"s_{c}").eqNullSafe(F.col(f"d_{c}")), 0)
+                .otherwise(1).alias(f"{c}_bad"))
+        return j.select(*out)
     s = src.alias("s")
     d = decoded.alias("d")
     joined = s.join(d, F.col(f"s.{key}") == F.col(f"d.{key}"), "full_outer")

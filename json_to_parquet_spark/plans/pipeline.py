@@ -404,14 +404,18 @@ def tighten_nullability(spark: SparkSession, out_dir: str) -> T.StructType:
     return tightened
 
 
-def verify_encoded(spark: SparkSession, src: DataFrame, out_dir: str) -> dict:
-    """Round-trip gate: decode chunk store, compare to src bit-identically."""
+def verify_encoded(spark: SparkSession, src: DataFrame, out_dir: str,
+                   mode: str = "join") -> dict:
+    """Round-trip gate: decode chunk store, compare to src bit-identically.
+    mode="checksum" verifies via per-column aggregate checksums with no
+    join/table shuffle (see operators.encode.verify_roundtrip)."""
     batches = _batch_dirs(out_dir)
     meta_dir = batches[0] if batches else out_dir
     with open(_meta_file(meta_dir)) as fh:
         meta = json.load(fh)
     decoded = read_encoded(spark, out_dir)
-    row = verify_roundtrip(src, decoded, meta["key"]).collect()[0].asDict()
+    row = verify_roundtrip(src, decoded, meta["key"],
+                           mode=mode).collect()[0].asDict()
     row["ok"] = all(v == 0 for k, v in row.items()
                     if k.endswith("_bad") or k == "key_missing")
     return row

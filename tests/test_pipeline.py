@@ -98,6 +98,47 @@ def test_pipeline_resume_identical(spark, pages, tmp_path):
     assert pipeline.verify_encoded(spark, pages, out_a)["ok"]
 
 
+def test_checksum_verify_mode(spark, pages, tmp_path):
+    """Aggregate-checksum verify: no join, no table-data shuffle — and it
+    must still detect a genuinely corrupted chunk in the store."""
+    import contextlib
+    import io
+    import shutil
+
+    import pyspark.sql.functions as F
+    out = str(tmp_path / "enc")
+    pipeline.run_encode(spark, pages, out, n_chunks=4)
+    res = pipeline.verify_encoded(spark, pages, out, mode="checksum")
+    assert res["ok"], res
+
+    # plan hygiene: zero SortMergeJoin, zero hash-partition Exchange of
+    # table rows (only single-row partial-agg gathers remain)
+    decoded = pipeline.read_encoded(spark, out)
+    from json_to_parquet_spark.operators.encode import verify_roundtrip
+    vdf = verify_roundtrip(pages, decoded, "url", mode="checksum")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vdf.explain("simple")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    # REAL chunk corruption: replace one chunk directory with the same
+    # chunk from a store built over tampered rows (same n_chunks & key →
+    # identical layout, different payload bytes) — must be detected
+    tampered = pages.withColumn(
+        "text", F.when(F.xxhash64("url") % 17 == 0,
+                       F.concat(F.col("text"), F.lit("X"))).otherwise(
+            F.col("text")))
+    out_t = str(tmp_path / "enc_t")
+    pipeline.run_encode(spark, tampered, out_t, n_chunks=4)
+    shutil.rmtree(f"{out}/chunks/chunk_id=0")
+    shutil.copytree(f"{out_t}/chunks/chunk_id=0", f"{out}/chunks/chunk_id=0")
+    res_bad = pipeline.verify_encoded(spark, pages, out, mode="checksum")
+    assert not res_bad["ok"], res_bad
+    assert res_bad["text_bad"] == 1
+
+
 def test_verify_detects_corruption(spark, pages, tmp_path):
     """The round-trip gate must FAIL when the source is perturbed — a
     verifier that can't fail is no gate."""
