@@ -381,10 +381,29 @@ def q_ann_ivf_topk(spark, sf):
 
 
 def q_codec_selection(spark, sf):
-    from json_to_parquet_spark.operators.selector import choose_codecs
-    from json_to_parquet_spark.operators.stats import collect_stats
+    """Codec auto-selection on the EXACT-stats oracle lane: deterministic
+    per-column stats (exact distinct, run count over doc_id order, full
+    byte histogram) feed the REAL `choose_codec` decision function; the
+    DuckDB twin recomputes the same stats in SQL and replays the same
+    decision rules — value-checkable end to end. (The production pass-1
+    uses sampled/batched collectors whose outputs depend on partitioning
+    and therefore cannot be value-pinned.)"""
+    from json_to_parquet_spark.operators.selector import choose_codec
+    from json_to_parquet_spark.operators.stats import (exact_byte_histogram,
+                                                       exact_column_stats)
     d = _t(spark, sf, "documents")
-    codecs = choose_codecs(collect_stats(d), d.schema)
+    cols = [f.name for f in d.schema.fields]
+    str_cols = [f.name for f in d.schema.fields
+                if f.dataType.simpleString() == "string"]
+    stats = exact_column_stats(d, cols, "doc_id")
+    per: dict[str, list] = {}
+    for r in exact_byte_histogram(d, str_cols).collect():
+        per.setdefault(r["column"], []).append(r["cnt"])
+    for c, cnts in per.items():
+        stats[c]["distinct_bytes"] = len(cnts)
+        stats[c]["top_byte_frac"] = max(cnts) / sum(cnts)
+    dtypes = {f.name: f.dataType for f in d.schema.fields}
+    codecs = {c: choose_codec(stats[c], dtypes[c]) for c in cols}
     return spark.createDataFrame(sorted(codecs.items()),
                                  "column string, codec string")
 
@@ -402,10 +421,20 @@ def q_encode_roundtrip(spark, sf):
 
 
 def q_chunk_stats(spark, sf):
-    from json_to_parquet_spark.operators.stats import byte_and_run_stats
+    """Pass-1 stats signals on the exact oracle lane: per string column,
+    row count, value-change count over doc_id order (the RLE signal),
+    total payload bytes, and exact distinct count (the DICT signal) —
+    each value-checkable against plain SQL."""
+    from json_to_parquet_spark.operators.stats import exact_column_stats
     d = _t(spark, sf, "documents")
-    return byte_and_run_stats(d, ["text", "lang", "source"]) \
-        .select("column", "n", "b0")
+    cols = ["lang", "source", "text"]
+    stats = exact_column_stats(d, cols, "doc_id")
+    rows = [(c, int(stats[c]["rows"]), int(stats[c]["run_count"]),
+             int(stats[c]["total_bytes"]), int(stats[c]["distinct"]))
+            for c in cols]
+    return spark.createDataFrame(
+        rows, "column string, n bigint, n_changes bigint, "
+              "total_bytes bigint, n_distinct bigint")
 
 
 def q_media_meta(spark, sf):
@@ -480,9 +509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup_lsh": _shipped(q_embedding_neardup_lsh),
         "q_ann_lsh_topk": _shipped(q_ann_lsh_topk),
         "q_ann_ivf_topk": _shipped(q_ann_ivf_topk),
+        # oracle-checked since round 3 (exact-stats lane)
         "q_codec_selection": _shipped(q_codec_selection),
-        "q_encode_roundtrip": _shipped(q_encode_roundtrip),
         "q_chunk_stats": _shipped(q_chunk_stats),
+        "q_encode_roundtrip": _shipped(q_encode_roundtrip),
         "q_media_meta": _shipped(q_media_meta),
         "q_frame_plan": _shipped(q_frame_plan),
         "q_webpages_encode_manifest": _shipped(q_webpages_encode_manifest),
@@ -540,6 +570,69 @@ def _minhash_md5_sql(num_hashes: int = 16, bands: int = 4,
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+
+def _col_stats_cte(c: str, is_str: bool) -> str:
+    """Exact per-column stats CTE (twin of stats.exact_column_stats):
+    n, non-null, exact distinct, run-change count over doc_id order,
+    total utf8 bytes (strings only)."""
+    tb = (f"CAST(sum(octet_length(CAST(v AS BLOB))) AS BIGINT) AS tb, "
+          if is_str else "CAST(NULL AS BIGINT) AS tb, ")
+    return (f"c_{c} AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(count(v) AS BIGINT) AS nn, "
+            f"CAST(count(DISTINCT v) AS BIGINT) AS nd, {tb}"
+            f"CAST(sum(CASE WHEN v IS DISTINCT FROM pv THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS runs "
+            f"FROM (SELECT {c} AS v, lag({c}) OVER (ORDER BY doc_id) AS pv "
+            f"FROM documents))")
+
+
+def _byte_hist_cte(c: str) -> str:
+    """Exact byte-histogram CTE (twin of stats.exact_byte_histogram):
+    distinct byte values + top-byte frequency fraction of a string
+    column's utf8 bytes, via hex-pair unnesting."""
+    return (f"b_{c} AS (SELECT CAST(count(*) AS BIGINT) AS db, "
+            f"CAST(max(cnt) AS DOUBLE) / sum(cnt) AS tf FROM ("
+            f"SELECT byte, count(*) AS cnt FROM ("
+            f"SELECT unnest([substring(hex(CAST({c} AS BLOB)), 2*i+1, 2) "
+            f"for i in range(octet_length(CAST({c} AS BLOB)))]) AS byte "
+            f"FROM documents WHERE {c} IS NOT NULL) GROUP BY byte))")
+
+
+# faithful SQL replay of selector.choose_codec's decision rules
+_CODEC_CASE_STR = (
+    "CASE WHEN n * 1.0 / greatest(runs, 1) >= 3.0 THEN 'rle' "
+    "WHEN nd <= greatest(CASE WHEN nn > 0 THEN nn ELSE n END, 1) / 4.0 "
+    "AND nd <= 1048576 THEN 'dict' "
+    "WHEN db <= 248 AND (tf >= 0.02 OR db <= 128) THEN 'fsst' "
+    "ELSE 'plain' END")
+_CODEC_CASE_INT = (
+    "CASE WHEN n * 1.0 / greatest(runs, 1) >= 3.0 THEN 'rle' "
+    "WHEN nd <= greatest(CASE WHEN nn > 0 THEN nn ELSE n END, 1) / 8.0 "
+    "AND nd <= 65536 THEN 'dict' "
+    "ELSE 'for' END")
+
+
+def _codec_selection_sql() -> str:
+    int_cols = ["doc_id", "n_chars"]
+    str_cols = ["lang", "source", "text"]
+    ctes = ([_col_stats_cte(c, False) for c in int_cols]
+            + [_col_stats_cte(c, True) for c in str_cols]
+            + [_byte_hist_cte(c) for c in str_cols])
+    selects = [f"SELECT '{c}' AS column, {_CODEC_CASE_INT} AS codec "
+               f"FROM c_{c}" for c in int_cols]
+    selects += [f"SELECT '{c}' AS column, {_CODEC_CASE_STR} AS codec "
+                f"FROM c_{c}, b_{c}" for c in str_cols]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _chunk_stats_sql() -> str:
+    cols = ["lang", "source", "text"]
+    ctes = [_col_stats_cte(c, True) for c in cols]
+    selects = [f"SELECT '{c}' AS column, n, runs AS n_changes, "
+               f"tb AS total_bytes, nd AS n_distinct FROM c_{c}"
+               for c in cols]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
 def _simhash_md5_sql() -> str:
@@ -761,6 +854,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn <= 3""",
         "q_minhash_candidates_md5": _minhash_md5_sql(),
         "q_simhash_md5": _simhash_md5_sql(),
+        "q_chunk_stats": _chunk_stats_sql(),
+        "q_codec_selection": _codec_selection_sql(),
         "q_embedding_neardup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
                        FROM embeddings)

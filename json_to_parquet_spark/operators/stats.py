@@ -140,6 +140,81 @@ def global_column_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def exact_column_stats(df: DataFrame, columns: list[str],
+                       order_col: str) -> dict[str, dict]:
+    """Deterministic EXACT per-column stats — the oracle lane.
+
+    The production pass-1 collectors sample and batch (approx distinct,
+    per-Arrow-batch run counts), so their outputs depend on partitioning
+    and cannot be value-pinned against a SQL oracle. This lane computes
+    the same signals exactly over a defined total order (`order_col`):
+    rows, non_null, exact distinct, run_count (value-change points over
+    the order, first row counts), avg_run = rows/run_count, and
+    total_bytes (octet_length sum; strings/binary). One window pass + one
+    aggregate — use at oracle/test scale (the global window is a single
+    partition), not on 10^12 rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    lagged = df.select(
+        *columns, *[F.lag(c).over(w).alias(f"__pv_{c}") for c in columns])
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nonnull"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+        aggs.append(F.sum(
+            F.when(~F.col(c).eqNullSafe(F.col(f"__pv_{c}")), 1).otherwise(0))
+            .alias(f"{c}__runs"))
+        if isinstance(fields[c], _BYTES_TYPES):
+            aggs.append(F.sum(F.octet_length(F.col(c)))
+                        .alias(f"{c}__total_bytes"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__total_bytes"))
+    g = lagged.agg(*aggs).collect()[0].asDict()
+    out: dict[str, dict] = {}
+    for c in columns:
+        runs = int(g[f"{c}__runs"] or 0)
+        out[c] = {
+            "rows": g["__rows"],
+            "non_null": g[f"{c}__nonnull"],
+            "distinct": g[f"{c}__distinct"],
+            "run_count": runs,
+            "avg_run": g["__rows"] / max(1, runs),
+            "total_bytes": g[f"{c}__total_bytes"],
+        }
+    return out
+
+
+_BYTE_HIST_SCHEMA = "column string, byte int, cnt long"
+
+
+def exact_byte_histogram(df: DataFrame, columns: list[str]) -> DataFrame:
+    """EXACT byte-value histogram of string/binary columns (FSST signal
+    on the oracle lane): (column, byte, cnt) with cnt summed over every
+    byte of every non-null value. Per-batch numpy bincount partials
+    summed by a groupBy — a sum of histograms is partition-independent,
+    so unlike the sampled batch collector this IS deterministic."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for c in columns:
+                vals = pdf[c].dropna()
+                if not len(vals):
+                    continue
+                blob = b"".join(
+                    v.encode("utf-8", "surrogatepass")
+                    if isinstance(v, str) else bytes(v) for v in vals)
+                if blob:
+                    counts = np.bincount(
+                        np.frombuffer(blob, dtype=np.uint8), minlength=256)
+                    rows.extend((c, int(b), int(counts[b]))
+                                for b in np.flatnonzero(counts))
+            yield pd.DataFrame(rows, columns=["column", "byte", "cnt"])
+    return (df.select(*columns).mapInPandas(fn, _BYTE_HIST_SCHEMA)
+            .groupBy("column", "byte").agg(F.sum("cnt").alias("cnt")))
+
+
 SAMPLE_BLOB_VALUES = 400      # values per bytes-column for the driver sample
 SAMPLE_BLOB_BYTES = 256 << 10  # cap per column
 

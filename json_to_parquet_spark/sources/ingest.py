@@ -88,16 +88,25 @@ def _split_concat_docs(blob: str) -> list[str]:
 
 
 def ingest_json_concat(spark: SparkSession, path: str,
-                       drop_all_null: bool = True) -> DataFrame:
+                       drop_all_null: bool = True,
+                       scratch_dir: str | None = None) -> DataFrame:
     """Read files of CONCATENATED JSON objects (`{...}{...}`, newline or
     not) — the input shape the reference's splitter accepts but Spark's
     JSON source turns into `_corrupt_record`.
 
-    Plan: wholetext scan → per-file vectorized quote-aware splitter
-    (mapInPandas) → union-schema inference over the individual documents.
-    Each file is one row in the text scan (same whole-file memory model
-    as the reference); at scale, line-delimited JSON remains the fast
-    path — this is the parity path for legacy concatenated files."""
+    Plan (DataFrame-only, per the input hint — no RDD hop): wholetext
+    scan → per-file vectorized quote-aware splitter (mapInPandas),
+    flattening each document to one physical line (raw newlines inside
+    JSON STRING values are illegal JSON, so any newline in a document is
+    insignificant inter-token whitespace — replacing it with a space
+    preserves semantics exactly) → spill the one-doc-per-line stream to
+    `scratch_dir` as text → standard JSON-lines union-schema inference
+    over it. Each input file is one row in the text scan (same
+    whole-file memory model as the reference); at scale, line-delimited
+    JSON remains the fast path — this is the parity path for legacy
+    concatenated files. On a cluster pass a shared `scratch_dir`
+    (defaults to a driver-local temp dir, fine for local mode)."""
+    import tempfile
     from collections.abc import Iterator
 
     import pandas as pd
@@ -108,14 +117,19 @@ def ingest_json_concat(spark: SparkSession, path: str,
         for pdf in batches:
             out = []
             for blob in pdf["value"]:
-                out.extend(_split_concat_docs(blob))
+                out.extend(d.replace("\n", " ").replace("\r", " ")
+                           for d in _split_concat_docs(blob))
             yield pd.DataFrame({"value": out})
 
     docs = raw.mapInPandas(split_fn, "value string")
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="j2ps_concat_")
+    staged = f"{scratch_dir}/docs_jsonl"
+    docs.write.mode("overwrite").text(staged)
     return (spark.read
             .option("dropFieldIfAllNull", "true" if drop_all_null else "false")
             .option("prefersDecimal", "false")
-            .json(docs.rdd.map(lambda r: r[0])))
+            .json(staged))
 
 
 def _flatten_type(dt: T.DataType) -> T.DataType:
