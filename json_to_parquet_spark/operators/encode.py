@@ -89,9 +89,57 @@ CHUNK_ARROW = [
     ("min_val", pa.string()), ("max_val", pa.string()),
 ]
 
+# manifest-only shape returned when the group fn writes the store itself
+MANIFEST_SCHEMA = T.StructType(
+    [f for f in CHUNK_SCHEMA.fields if f.name != "payload"])
+
+_STORE_FILE = "part-00000.parquet"
+
+
+def _write_chunk_file(store_dir: str, chunk_id: int, table: pa.Table) -> None:
+    """Persist one chunk's payload rows as
+    `store_dir/chunk_id=<id>/part-00000.parquet` — the exact layout
+    Spark's partitioned writer produces, so every reader (read_encoded,
+    manifest scans, resume) is unchanged.
+
+    Idempotent and crash-safe: the file is written to a dot-prefixed
+    temp name at the store root (Spark's file index ignores `.`/`_`
+    prefixes, so a crash can never leak half-written rows into reads)
+    and atomically renamed into place; a re-encode or speculative twin
+    replaces it with identical deterministic bytes. Leftover files from
+    an older Spark-written layout (different part names) are removed so
+    a resumed store never double-counts a chunk."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if os.environ.get("SPARK_GRAFT_SKIP_STORE_WRITE"):  # perf-isolation hook
+        return
+    d = os.path.join(store_dir, f"chunk_id={chunk_id}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(store_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    # payloads are already codec-compressed — snappy on top would burn
+    # CPU in exactly the stage the scaling criterion measures. Likewise
+    # pyarrow's DEFAULTS are hostile here: use_dictionary hashes every
+    # multi-MB payload value into a dict that can never win, and
+    # write_statistics computes min/max comparisons over those same
+    # blobs — at 32 concurrent workers that burned 2-3x the encode
+    # kernel's own core-seconds. PLAIN, stats off.
+    pq.write_table(table, tmp, compression="none", use_dictionary=False,
+                   write_statistics=False)
+    os.replace(tmp, os.path.join(d, _STORE_FILE))
+    for f in os.listdir(d):
+        if f != _STORE_FILE:
+            try:
+                os.unlink(os.path.join(d, f))
+            except OSError:
+                pass
+
 
 def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
-                     arrow_schema: pa.Schema, sort_cols: list[str]):
+                     arrow_schema: pa.Schema, sort_cols: list[str],
+                     store_dir: str | None = None):
     out_fields = CHUNK_ARROW
     sort_keys = [(c, "ascending") for c in sort_cols]
 
@@ -131,19 +179,39 @@ def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
             cols["wall_ms"].append((time.perf_counter() - t0) * 1000.0)
             cols["min_val"].append(vmin)
             cols["max_val"].append(vmax)
+        if store_dir is None:
+            return pa.table(
+                {name: pa.array(cols[name], type=t) for name, t in out_fields})
+        # direct store write: persist the payload rows HERE (Arrow →
+        # parquet, no JVM round-trip) and return manifest rows only —
+        # the partition column chunk_id lives in the directory name
+        file_tbl = pa.table(
+            {name: pa.array(cols[name], type=t) for name, t in out_fields
+             if name != "chunk_id"})
+        _write_chunk_file(store_dir, chunk_id, file_tbl)
         return pa.table(
-            {name: pa.array(cols[name], type=t) for name, t in out_fields})
+            {name: pa.array(cols[name], type=t) for name, t in out_fields
+             if name != "payload"})
     return fn
 
 
 def encode_chunks(df: DataFrame, key: str, codecs: dict,
-                  n_chunks: int, sort_cols: list[str] | None = None
-                  ) -> DataFrame:
+                  n_chunks: int, sort_cols: list[str] | None = None,
+                  store_dir: str | None = None) -> DataFrame:
     """Encode `df` into per-(chunk, column) payload rows.
 
     `codecs` maps column → codec name or codec-plan dict (shared state).
     `sort_cols` is the chunk-local row permutation (key appended as the
     unique tiebreak; default = key only).
+
+    With `store_dir` set, each group WRITES its own chunk parquet file
+    (same `chunk_id=N/` layout as Spark's partitioned writer, atomic
+    rename, idempotent) and the returned DataFrame carries only the
+    payload-free manifest rows (MANIFEST_SCHEMA). This keeps the encoded
+    bytes out of the JVM entirely — the default path sends every payload
+    Arrow→JVM and through the JVM parquet writer, which at 32 cores was
+    the dominant non-kernel cost of the N→4N scaling criterion (and at
+    100 TB means the JVM re-serializes ~50 TB it never needs to see).
 
     The explicit repartition pins the shuffle width to ~one chunk per
     task instead of `spark.sql.shuffle.partitions` (= cores): with the
@@ -162,8 +230,9 @@ def encode_chunks(df: DataFrame, key: str, codecs: dict,
     n_part = min(max(n_chunks, 1), 65536)
     chunked = chunked.repartition(n_part, CHUNK_COL)
     return chunked.groupBy(CHUNK_COL).applyInArrow(
-        _encode_group_fn(key, columns, codecs, aschema, sort_cols),
-        schema=CHUNK_SCHEMA)
+        _encode_group_fn(key, columns, codecs, aschema, sort_cols,
+                         store_dir=store_dir),
+        schema=MANIFEST_SCHEMA if store_dir is not None else CHUNK_SCHEMA)
 
 
 def _decode_group_fn(schema: T.StructType, arrow_schema: pa.Schema):

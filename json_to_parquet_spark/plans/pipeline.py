@@ -126,13 +126,20 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
                sample_rows: int = 1_000_000,
                target_chunk_bytes: int = 32 << 20, resume: bool = True,
                max_chunks_this_run: int | None = None,
-               post_compress: str | None = None) -> dict:
+               post_compress: str | None = None,
+               direct_store: bool = True) -> dict:
     """Run (or resume) the encode pipeline. Returns run metrics.
 
     Pass-1 sampling is capped by ROWS (`sample_rows`), not fraction —
     stats need distribution shape, so the pass reads O(constant) rows at
     any table size. `sample_fraction` overrides the derived fraction when
-    set explicitly."""
+    set explicitly.
+
+    direct_store=True (default): chunk files are written by the encode
+    workers themselves (see operators.encode.encode_chunks store_dir) —
+    identical store layout, but encoded payloads never round-trip
+    through the JVM writer. False keeps the Spark partitioned-write
+    path (useful where workers cannot reach the store filesystem)."""
     t0 = time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
     columns = [f.name for f in src.schema.fields]
@@ -238,36 +245,59 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     # --- pass 2: encode + persist chunk store
     # encode_chunks re-derives the (identical) chunk id itself
     t_encode = time.perf_counter()
-    chunks = encode_chunks(chunked.drop(CHUNK_COL), key, plan, n_chunks,
-                           sort_cols=sort_order)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # dynamic partition overwrite on chunk_id: a resumed run replaces only
-    # the chunk directories it re-encodes. Each chunk's rows sit in one
-    # task (grouped by chunk id), so the store is one file per chunk.
-    (chunks.write.mode("overwrite").partitionBy("chunk_id")
-           .parquet(_chunks_path(out_dir)))
-    encode_wall = time.perf_counter() - t_encode
-
-    # --- manifest append (lineage + metrics checkpoint, no payloads)
-    t_manifest = time.perf_counter()
     run_id = uuid.uuid4().hex[:12]
-    try:
-        written = spark.read.parquet(_chunks_path(out_dir))
-    except Exception:
-        # empty input → nothing was written; synthesize an empty store
-        from ..operators.encode import CHUNK_SCHEMA
-        written = spark.createDataFrame([], CHUNK_SCHEMA)
-    if done_count:
-        written = written.join(F.broadcast(done), "chunk_id", "left_anti")
-    if todo_limited is not None:
-        written = written.join(F.broadcast(todo_limited), "chunk_id",
-                               "left_semi")
-    manifest = written.select(
-        "chunk_id", "column", "codec", "n_rows", "raw_bytes", "enc_bytes",
-        "checksum", "wall_ms", "min_val", "max_val") \
-        .withColumn("run_id", F.lit(run_id)) \
-        .withColumn("status", F.lit("ok"))
-    manifest.write.mode("append").parquet(_manifest_path(out_dir))
+    if direct_store:
+        # direct store write: each Arrow group persists its own chunk
+        # file (atomic rename into the chunk_id=N layout) and only the
+        # payload-free manifest rows flow back through Spark — the JVM
+        # never re-serializes the encoded bytes (at 100 TB, ~50 TB that
+        # previously crossed Arrow→JVM→parquet-writer for nothing).
+        # Writing the manifest IS the action that runs the encode job.
+        os.makedirs(_chunks_path(out_dir), exist_ok=True)
+        rows = encode_chunks(chunked.drop(CHUNK_COL), key, plan, n_chunks,
+                             sort_cols=sort_order,
+                             store_dir=_chunks_path(out_dir))
+        manifest = rows.select(
+            "chunk_id", "column", "codec", "n_rows", "raw_bytes",
+            "enc_bytes", "checksum", "wall_ms", "min_val", "max_val") \
+            .withColumn("run_id", F.lit(run_id)) \
+            .withColumn("status", F.lit("ok"))
+        manifest.write.mode("append").parquet(_manifest_path(out_dir))
+        encode_wall = time.perf_counter() - t_encode
+        t_manifest = time.perf_counter()
+        manifest = spark.read.parquet(_manifest_path(out_dir)) \
+            .filter(F.col("run_id") == run_id)
+    else:
+        chunks = encode_chunks(chunked.drop(CHUNK_COL), key, plan, n_chunks,
+                               sort_cols=sort_order)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # dynamic partition overwrite on chunk_id: a resumed run replaces
+        # only the chunk directories it re-encodes. Each chunk's rows sit
+        # in one task (grouped by chunk id), so the store is one file per
+        # chunk.
+        (chunks.write.mode("overwrite").partitionBy("chunk_id")
+               .parquet(_chunks_path(out_dir)))
+        encode_wall = time.perf_counter() - t_encode
+
+        # --- manifest append (lineage + metrics checkpoint, no payloads)
+        t_manifest = time.perf_counter()
+        try:
+            written = spark.read.parquet(_chunks_path(out_dir))
+        except Exception:
+            # empty input → nothing was written; synthesize an empty store
+            from ..operators.encode import CHUNK_SCHEMA
+            written = spark.createDataFrame([], CHUNK_SCHEMA)
+        if done_count:
+            written = written.join(F.broadcast(done), "chunk_id", "left_anti")
+        if todo_limited is not None:
+            written = written.join(F.broadcast(todo_limited), "chunk_id",
+                                   "left_semi")
+        manifest = written.select(
+            "chunk_id", "column", "codec", "n_rows", "raw_bytes", "enc_bytes",
+            "checksum", "wall_ms", "min_val", "max_val") \
+            .withColumn("run_id", F.lit(run_id)) \
+            .withColumn("status", F.lit("ok"))
+        manifest.write.mode("append").parquet(_manifest_path(out_dir))
 
     # --- run metrics
     agg = manifest.agg(
