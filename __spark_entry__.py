@@ -453,6 +453,30 @@ def q_frame_plan(spark, sf):
     return frame_sample_plan(synth_media(spark, 300), every_n=24)
 
 
+def q_media_meta_md5(spark, sf):
+    """Md5-lane twin of q_media_meta: synthetic media metadata derives
+    from md5, so the DuckDB oracle recomputes the EXPECTED width/height/
+    frame counts closed-form while Spark round-trips them through the
+    binary header and the mapInPandas decoder — value-checking the whole
+    multimodal plumbing loop."""
+    from json_to_parquet_spark.operators.multimodal import (
+        extract_media_meta, synth_media_md5)
+    media = synth_media_md5(spark, 500)
+    return (extract_media_meta(media).groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_bytes").alias("bytes"),
+                 F.max("width").alias("max_w"),
+                 F.sum(F.col("n_frames").cast("bigint")).alias("frames")))
+
+
+def q_frame_plan_md5(spark, sf):
+    """Md5-lane twin of q_frame_plan: per-video sampled frame indices,
+    oracle-checkable because n_frames is a closed-form md5 function."""
+    from json_to_parquet_spark.operators.multimodal import (frame_sample_plan,
+                                                            synth_media_md5)
+    return frame_sample_plan(synth_media_md5(spark, 300), every_n=24)
+
+
 def q_webpages_encode_manifest(spark, sf):
     import tempfile
 
@@ -515,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_encode_roundtrip": _shipped(q_encode_roundtrip),
         "q_media_meta": _shipped(q_media_meta),
         "q_frame_plan": _shipped(q_frame_plan),
+        "q_media_meta_md5": _shipped(q_media_meta_md5),
+        "q_frame_plan_md5": _shipped(q_frame_plan_md5),
         "q_webpages_encode_manifest": _shipped(q_webpages_encode_manifest),
     }
 
@@ -652,6 +678,42 @@ def _simhash_md5_sql() -> str:
               {bit_sums}
           FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes"""
+
+
+def _media_h_sql(tag: str) -> str:
+    """DuckDB twin of multimodal.synth_media_md5's 60-bit md5 lane."""
+    return (f"CAST(('0x' || substring(md5(id::VARCHAR || ':{tag}'), 1, 15)) "
+            f"AS BIGINT)")
+
+
+def _media_meta_md5_sql() -> str:
+    # n_bytes is structural: 9 magic + 18 header + 256 body bytes = 283
+    return f"""
+        WITH ids AS (SELECT unnest(generate_series(0, 499)) AS id),
+        m AS (SELECT id,
+                ['image','audio','video'][({_media_h_sql('k')} % 3) + 1]
+                  AS kind,
+                ({_media_h_sql('w')} % 1920) + 8 AS w,
+                ({_media_h_sql('f')} % 240) + 1 AS nf
+              FROM ids)
+        SELECT kind, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * 283 AS BIGINT) AS bytes,
+               CAST(max(w) AS INTEGER) AS max_w,
+               CAST(sum(nf) AS BIGINT) AS frames
+        FROM m GROUP BY kind"""
+
+
+def _frame_plan_md5_sql() -> str:
+    return f"""
+        WITH ids AS (SELECT unnest(generate_series(0, 299)) AS id),
+        m AS (SELECT id AS media_id,
+                {_media_h_sql('k')} % 3 AS kr,
+                ({_media_h_sql('f')} % 240) + 1 AS nf
+              FROM ids)
+        SELECT media_id,
+               CAST(unnest(generate_series(0, nf - 1, 24)) AS INTEGER)
+                 AS frame_idx
+        FROM m WHERE kr = 2"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -856,6 +918,8 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_md5": _simhash_md5_sql(),
         "q_chunk_stats": _chunk_stats_sql(),
         "q_codec_selection": _codec_selection_sql(),
+        "q_media_meta_md5": _media_meta_md5_sql(),
+        "q_frame_plan_md5": _frame_plan_md5_sql(),
         "q_embedding_neardup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
                        FROM embeddings)

@@ -222,12 +222,19 @@ def encode_chunks(df: DataFrame, key: str, codecs: dict,
     this exchange (ClusteredDistribution on the chunk id is already
     satisfied), so the plan still has exactly ONE shuffle. Width is
     capped so a 100 TB table (~3M chunks) schedules ~50 chunks/task
-    rather than 3M tasks."""
+    rather than 3M tasks.
+
+    Width = 4×n_chunks, not n_chunks: hashing k distinct chunk ids into
+    k partitions is balls-in-bins — ~37% of tasks get nothing while
+    others serialize 3-4 chunks, and that tail quantum hurts the wide
+    (4N) leg ~8× more than the narrow one (a 3-chunk straggler is ~25%
+    of an 8-wave schedule but ~3% of a 32-wave one). At 4× width,
+    multi-chunk tasks are rare (~3%) and empty tasks cost ~ms."""
     columns = [f.name for f in df.schema.fields]
     aschema = arrow_schema_for(df.schema)
     sort_cols = [c for c in (sort_cols or []) if c != key] + [key]
     chunked = with_chunk_id(df, key, n_chunks)
-    n_part = min(max(n_chunks, 1), 65536)
+    n_part = min(max(4 * n_chunks, 1), 65536)
     chunked = chunked.repartition(n_part, CHUNK_COL)
     return chunked.groupBy(CHUNK_COL).applyInArrow(
         _encode_group_fn(key, columns, codecs, aschema, sort_cols,

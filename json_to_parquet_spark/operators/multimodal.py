@@ -59,6 +59,37 @@ def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
                      F.concat(header, body).alias("payload"))
 
 
+def synth_media_md5(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Oracle-lane twin of synth_media: identical payload layout, but
+    kind/width/height/n_frames derive from md5 (60-bit hex prefix) instead
+    of xxhash64, so a DuckDB oracle can recompute the EXPECTED metadata
+    closed-form and value-check the whole binary-header encode →
+    mapInPandas decode loop (cf. the minhash/simhash md5 lanes)."""
+    df = spark.range(0, n_rows, 1, max(1, n_rows // 5000 or 1))
+
+    def h(tag: str):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + tag))),
+            1, 15), 16, 10).cast("long")
+
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(h("k"), F.lit(3)) + 1).cast("int"))
+    w = (F.pmod(h("w"), F.lit(1920)) + 8).cast("int")
+    ht = (F.pmod(h("h"), F.lit(1080)) + 8).cast("int")
+    frames = (F.pmod(h("f"), F.lit(240)) + 1).cast("int")
+    header = F.concat(
+        F.lit(_MAGIC),
+        F.lpad(w.cast("string"), 6, "0").cast("binary"),
+        F.lpad(ht.cast("string"), 6, "0").cast("binary"),
+        F.lpad(frames.cast("string"), 6, "0").cast("binary"))
+    body = F.encode(F.repeat(
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit("42")), 256), 4),
+        "utf-8")
+    return df.select(F.col("id").alias("media_id"), kind.alias("kind"),
+                     F.concat(header, body).alias("payload"))
+
+
 def fake_decoder(payloads: np.ndarray, kinds: np.ndarray) -> dict:
     """Default decode kernel: parses the synth_media header; 'features' =
     8 deterministic moments of the body bytes. A real deployment installs

@@ -39,6 +39,8 @@ plan = build_codec_plan(collect_stats(pages, sample_fraction=0.02), pages.schema
 # warm-up: spin up python workers so the measured trial isn't cold
 encode_chunks(pages.limit(20000), "url", plan, n_chunks=cores).count()
 best = None
+m = None
+import shutil
 tmp_root = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
 for trial in range(3):
     out = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir=tmp_root)
@@ -51,8 +53,12 @@ for trial in range(3):
     wall = time.perf_counter() - t0
     if best is None or wall < best:
         best = wall
-m = spark.read.parquet(out + "/manifest").agg(
-    F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).collect()[0]
+        m = spark.read.parquet(out + "/manifest").agg(
+            F.sum("raw_bytes").alias("r"),
+            F.sum("enc_bytes").alias("e")).collect()[0]
+    # CRITICAL: tmpfs output counts against RAM — leaking 2.3 GB/trial
+    # starves the 4N-leg JVM of page cache and poisons the measurement
+    shutil.rmtree(out, ignore_errors=True)
 print("RESULT " + json.dumps({{
     "cores": cores, "rows": n, "wall_s": round(best, 2),
     "raw_bytes": int(m.r), "enc_bytes": int(m.e),
