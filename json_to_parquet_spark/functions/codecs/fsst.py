@@ -54,7 +54,19 @@ _ROUNDS = 6
 # More symbols now cost almost nothing at encode time (the single pass is
 # symbol-count-independent); the bound only limits table metadata size.
 _DEFAULT_MAX_SYMBOLS = 224
-_TILE = 1 << 17            # match-phase tile (positions) — L2-resident
+# Match-phase tile (positions). Sized so ONE WORKER's tile state (p8
+# 8B/pos + iv 8B/pos + labels/masks ≈ 20B/pos → ~640 KB) fits its
+# PRIVATE L2: at 32 concurrent workers the shared L3 divides to ~1-2 MB
+# per core, so the former 2^17 tile (~2.6 MB/worker) spilled every tile
+# to DRAM and the match phase ran at memory bandwidth, not core speed —
+# the main source of the 8→32-core per-core kernel inflation.
+_TILE = 1 << 15
+# Greedy-walk block size (positions): matches may not cross a block
+# boundary, which makes per-block greedy chains independent so they can
+# advance in lockstep (vectorized gather) instead of one sequential
+# Python pointer-chase over ~5M matches per 16 MB chunk. Cost: at most
+# one lost match per boundary — ≲0.3% of the compression win at 2048.
+_WALK_BLOCK = 1 << 11
 _FULL = 1 << 64
 
 
@@ -222,19 +234,42 @@ def apply_table(data: bytes, symbols: list[bytes], codes: list[int]
     if not pos_parts:
         return None
     P = np.concatenate(pos_parts)
+    Cp = np.concatenate(code_parts)
     Lp = np.concatenate(len_parts).astype(np.int64)
-    # greedy walk on the candidate-match domain (m ≪ n): array('i')
-    # instead of tolist() — a list of m PyLongs is tens of MB of object
-    # churn per call and page-faults badly at 32 concurrent workers
-    nxt = array.array("i")
-    nxt.frombytes(np.searchsorted(P, P + Lp).astype(np.int32).tobytes())
-    sel = array.array("i")
-    t = 0
+    # Greedy first-fit selection, BLOCK-SEGMENTED so it vectorizes: the
+    # exact chain walk (t = next_candidate_at_or_after(P[t] + len[t])) is
+    # a sequential pointer chase — profiled at ~76% of encode time as a
+    # per-selected-match Python loop (~5M iterations per 16 MB chunk).
+    # Instead, matches are forbidden from crossing _WALK_BLOCK-position
+    # boundaries (drops ~1 potential match per boundary, ≲0.3% of the
+    # size win), which makes every block's chain independent; all ~n/2K
+    # chains then advance in lockstep with one vectorized gather per
+    # step (max B/2 steps, since each selected match advances ≥2
+    # positions). Deterministic, and decode is unchanged — it never
+    # sees block structure, only non-overlapping substitutions.
+    shift = _WALK_BLOCK.bit_length() - 1
+    inside = (P >> shift) == ((P + Lp - 1) >> shift)
+    P, Lp, Cp = P[inside], Lp[inside], Cp[inside]
+    if not len(P):
+        return None
     m = len(P)
-    while t < m:
-        sel.append(t)
-        t = nxt[t]
-    sel = np.frombuffer(sel, dtype=np.int32)
+    nxt = np.searchsorted(P, P + Lp).astype(np.int64)
+    n_blocks = (n >> shift) + 1
+    edges = np.arange(n_blocks + 1, dtype=np.int64) << shift
+    starts = np.searchsorted(P, edges[:-1]).astype(np.int64)
+    ends = np.searchsorted(P, edges[1:]).astype(np.int64)
+    cur, lim = starts, ends
+    live = cur < lim
+    cur, lim = cur[live], lim[live]
+    sel_parts = []
+    while len(cur):
+        sel_parts.append(cur)
+        cur = nxt[cur]
+        live = cur < lim
+        if not live.all():
+            cur, lim = cur[live], lim[live]
+    sel = np.concatenate(sel_parts) if sel_parts else \
+        np.empty(0, dtype=np.int64)
     S = P[sel]
     Ls = Lp[sel]
     # assembly: +1/-1 coverage diff over match interiors, int8 cumsum
@@ -246,7 +281,7 @@ def apply_table(data: bytes, symbols: list[bytes], codes: list[int]
     mark[S + Ls] -= 1
     keep = np.cumsum(mark[:n], dtype=np.int8) == 0
     out = a.copy()
-    out[S] = np.concatenate(code_parts)[sel]
+    out[S] = Cp[sel]
     enc = out[keep].tobytes()
     return enc if len(enc) < n else None
 

@@ -31,7 +31,10 @@ from pyspark.sql import types as T
 
 from ..functions.codecs.column import (decode_column, encode_column,
                                        meta_from_json, meta_to_json)
-from .chunking import CHUNK_COL, with_chunk_id
+from .chunking import CHUNK_COL, perfect_shuffle_salts, with_chunk_id
+
+# shuffle/group relabeling column (see encode_chunks straggler notes)
+SALT_COL = "__chunk_salt"
 
 CHUNK_SCHEMA = T.StructType([
     T.StructField("chunk_id", T.IntegerType(), False),
@@ -219,27 +222,39 @@ def encode_chunks(df: DataFrame, key: str, codecs: dict,
     lumps, and the straggler tail costs ~45% of wall at 32 cores (the
     4N side of the scaling criterion suffers more than the N side —
     relative imbalance shrinks with chunks-per-task). The groupBy reuses
-    this exchange (ClusteredDistribution on the chunk id is already
-    satisfied), so the plan still has exactly ONE shuffle. Width is
-    capped so a 100 TB table (~3M chunks) schedules ~50 chunks/task
-    rather than 3M tasks.
+    this exchange (ClusteredDistribution on the grouping column is
+    already satisfied), so the plan still has exactly ONE shuffle.
 
-    Width = 4×n_chunks, not n_chunks: hashing k distinct chunk ids into
-    k partitions is balls-in-bins — ~37% of tasks get nothing while
-    others serialize 3-4 chunks, and that tail quantum hurts the wide
-    (4N) leg ~8× more than the narrow one (a 3-chunk straggler is ~25%
-    of an 8-wave schedule but ~3% of a 32-wave one). At 4× width,
-    multi-chunk tasks are rare (~3%) and empty tasks cost ~ms."""
+    Straggler control: hashing k distinct chunk ids into k partitions is
+    balls-in-bins — ~37% of tasks get nothing while others serialize 2-3
+    chunks, and that tail quantum hurts the wide (4N) leg of the scaling
+    criterion far more than the narrow one (a 2-chunk straggler is a
+    whole extra chunk-encode on the last of 8 waves at 32 cores, but
+    noise across 32 waves at 8). So for ≤8192 chunks the shuffle/group
+    column is `perfect_shuffle_salts(n)[chunk_id]` — a bijective
+    relabeling whose Murmur3 perfect-hashes into exactly one chunk per
+    partition, zero empties (the group fn reads the REAL chunk id from
+    the chunk column, so ids stay 0..n-1 everywhere downstream). Beyond
+    8192 chunks (the 100 TB regime, ~3M chunks) tasks carry ~50 chunks
+    each under a 65536-partition cap and collisions average out."""
     columns = [f.name for f in df.schema.fields]
     aschema = arrow_schema_for(df.schema)
     sort_cols = [c for c in (sort_cols or []) if c != key] + [key]
     chunked = with_chunk_id(df, key, n_chunks)
-    n_part = min(max(4 * n_chunks, 1), 65536)
+    fn = _encode_group_fn(key, columns, codecs, aschema, sort_cols,
+                          store_dir=store_dir)
+    out_schema = MANIFEST_SCHEMA if store_dir is not None else CHUNK_SCHEMA
+    if n_chunks <= 8192:
+        salts = perfect_shuffle_salts(n_chunks)
+        salt_col = F.element_at(
+            F.array(*[F.lit(v) for v in salts]),
+            F.col(CHUNK_COL) + 1).alias(SALT_COL)
+        chunked = chunked.withColumn(SALT_COL, salt_col)
+        chunked = chunked.repartition(n_chunks, SALT_COL)
+        return chunked.groupBy(SALT_COL).applyInArrow(fn, schema=out_schema)
+    n_part = min(max(n_chunks, 1), 65536)
     chunked = chunked.repartition(n_part, CHUNK_COL)
-    return chunked.groupBy(CHUNK_COL).applyInArrow(
-        _encode_group_fn(key, columns, codecs, aschema, sort_cols,
-                         store_dir=store_dir),
-        schema=MANIFEST_SCHEMA if store_dir is not None else CHUNK_SCHEMA)
+    return chunked.groupBy(CHUNK_COL).applyInArrow(fn, schema=out_schema)
 
 
 def _decode_group_fn(schema: T.StructType, arrow_schema: pa.Schema):

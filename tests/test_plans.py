@@ -127,3 +127,37 @@ def test_minhash_partial_aggregation(spark):
     first_agg = plan.rindex("HashAggregate")  # bottom-most = map side
     assert "partial_min" in plan[first_agg:first_agg + 4000] or \
         plan.count("HashAggregate") >= 2
+
+
+def test_perfect_shuffle_salts_bijection():
+    """salts[cid] must land chunk cid in partition cid of an n-partition
+    HashPartitioning — checked against a pure-python Murmur3 that the
+    Spark-parity test below pins to the real hash()."""
+    from json_to_parquet_spark.operators.chunking import (
+        _murmur3_int32, perfect_shuffle_salts)
+    for n in (1, 2, 7, 64, 256, 1024):
+        salts = perfect_shuffle_salts(n)
+        assert sorted(_murmur3_int32(v) % n for v in salts) == list(range(n))
+
+
+def test_murmur3_matches_spark_hash(spark):
+    from json_to_parquet_spark.operators.chunking import _murmur3_int32
+    rows = (spark.range(0, 200, 7)
+            .select(F.col("id").cast("int").alias("i"),
+                    F.hash(F.col("id").cast("int")).alias("h")).collect())
+    assert all(_murmur3_int32(r.i) == r.h for r in rows)
+
+
+def test_encode_one_chunk_per_task(spark):
+    """With the perfect-salt shuffle column, every encode task holds
+    EXACTLY one chunk: n_chunks tasks, no empties, no 2-chunk stragglers
+    (balls-in-bins would leave ~37% empty). Asserted by counting rows per
+    output partition of the single-exchange plan."""
+    from json_to_parquet_spark.operators.encode import encode_chunks
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    pages = synth_webpages(spark, 4000, partitions=8)
+    chunks = encode_chunks(pages, "url", {"text": "plain"}, n_chunks=16)
+    sizes = (chunks.select(F.spark_partition_id().alias("p"), "chunk_id")
+             .groupBy("p").agg(F.countDistinct("chunk_id").alias("k"))
+             .collect())
+    assert len(sizes) == 16 and all(r.k == 1 for r in sizes)
