@@ -319,6 +319,16 @@ def q_minhash_candidates_md5(spark, sf):
     return minhash_lsh_candidates_md5(_t(spark, sf, "documents"))
 
 
+def q_minhash_dedup_dropped_md5(spark, sf):
+    """The FULL near-dup-removal pipeline on the md5 lane: LSH
+    candidates → exact shingle-Jaccard confirm (≥0.6) → connected
+    components → dropped docs with their component representative.
+    DuckDB reproduces the components with a recursive CTE, so the
+    transitive-chain clustering is value-checkable end-to-end."""
+    from json_to_parquet_spark.operators.dedup import minhash_lsh_dedup_md5
+    return minhash_lsh_dedup_md5(_t(spark, sf, "documents"), threshold=0.6)
+
+
 def q_simhash_md5(spark, sf):
     """Per-document 60-bit SimHash from md5 token hashes — validates the
     vectorized bit-majority kernel value-exactly against DuckDB."""
@@ -525,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_batch_topk": _shipped(q_ann_batch_topk),
         "q_embedding_neardup": _shipped(q_embedding_neardup),
         "q_minhash_candidates_md5": _shipped(q_minhash_candidates_md5),
+        "q_minhash_dedup_dropped_md5": _shipped(q_minhash_dedup_dropped_md5),
         "q_simhash_md5": _shipped(q_simhash_md5),
         # rows-only (hash-seeded / pipeline / stubbed)
         "q_minhash_candidates": _shipped(q_minhash_candidates),
@@ -570,8 +581,10 @@ def _lane_sql(expr: str, lane: int) -> str:
             f"AS BIGINT)")
 
 
-def _minhash_md5_sql(num_hashes: int = 16, bands: int = 4,
-                     shingle_k: int = 5) -> str:
+def _minhash_cand_ctes(num_hashes: int = 16, bands: int = 4,
+                       shingle_k: int = 5) -> str:
+    """Shared CTE block: shingles → lane minima → band keys → candidate
+    pairs (the DuckDB twin of minhash_lsh_candidates_md5)."""
     r = num_hashes // bands
     k = shingle_k
     mins = ",\n              ".join(
@@ -581,8 +594,7 @@ def _minhash_md5_sql(num_hashes: int = 16, bands: int = 4,
             b=b, key=" || ',' || ".join(
                 f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)))
         for b in range(bands))
-    return f"""
-        WITH sh AS (
+    return f"""sh AS (
           SELECT doc_id, unnest(list_distinct(
                    [substring(text, i, {k})
                     for i in range(1, greatest(length(text) - {k - 1}, 0) + 1)]
@@ -592,10 +604,55 @@ def _minhash_md5_sql(num_hashes: int = 16, bands: int = 4,
           SELECT doc_id,
               {mins}
           FROM sh GROUP BY doc_id),
-        bands AS ({band_selects})
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+        bands AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_md5_sql(num_hashes: int = 16, bands: int = 4,
+                     shingle_k: int = 5) -> str:
+    return f"""
+        WITH {_minhash_cand_ctes(num_hashes, bands, shingle_k)}
+        SELECT id_a, id_b FROM cand"""
+
+
+def _minhash_dedup_md5_sql(threshold: float = 0.6, num_hashes: int = 16,
+                           bands: int = 4, shingle_k: int = 5) -> str:
+    """DuckDB twin of minhash_lsh_dedup_md5: candidates → exact
+    shingle-Jaccard confirm → min-label connected components via a
+    recursive CTE (reach = all (vertex, reachable-vertex) pairs; the
+    component representative is the minimum reachable id) → the dropped
+    docs. UNION (not UNION ALL) dedups the recursive frontier, so the
+    recursion terminates at the transitive closure."""
+    k = shingle_k
+    return f"""
+        WITH RECURSIVE {_minhash_cand_ctes(num_hashes, bands, shingle_k)},
+        shl AS (
+          SELECT doc_id, list_distinct(
+                   [substring(text, i, {k})
+                    for i in range(1, greatest(length(text) - {k - 1}, 0) + 1)]
+                 ) AS sl
+          FROM documents),
+        confirmed AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN shl a ON a.doc_id = c.id_a
+          JOIN shl b ON b.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE)
+                / len(list_distinct(a.sl || b.sl)) >= {threshold}),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM confirmed
+          UNION
+          SELECT id_b AS s, id_a AS d FROM confirmed),
+        reach AS (
+          SELECT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.d AS id, reach.r AS r
+          FROM edges e JOIN reach ON e.s = reach.id)
+        SELECT id AS doc_id, min(r) AS component
+        FROM reach GROUP BY id HAVING id <> min(r)"""
 
 
 def _col_stats_cte(c: str, is_str: bool) -> str:
@@ -915,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, round(c, 6) AS cos6
             FROM ranked WHERE rn <= 3""",
         "q_minhash_candidates_md5": _minhash_md5_sql(),
+        "q_minhash_dedup_dropped_md5": _minhash_dedup_md5_sql(),
         "q_simhash_md5": _simhash_md5_sql(),
         "q_chunk_stats": _chunk_stats_sql(),
         "q_codec_selection": _codec_selection_sql(),

@@ -242,6 +242,34 @@ def minhash_lsh_candidates_md5(df: DataFrame, text_col: str = "text",
             .distinct())
 
 
+def minhash_lsh_dedup_md5(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", threshold: float = 0.6,
+                          num_hashes: int = 16, bands: int = 4,
+                          shingle_k: int = 5) -> DataFrame:
+    """Oracle-checkable twin of the FULL `minhash_lsh_dedup` pipeline
+    (md5 lane hashes instead of xxhash64): banded-LSH candidates →
+    exact shingle-Jaccard confirm → connected components → the DROPPED
+    docs as (doc_id, component). A DuckDB recursive CTE reproduces the
+    min-label components value-exactly, making the transitive-chain
+    clustering itself (not just the candidate pairs) hash-checkable.
+    Same shuffle profile as the production lane: per-bucket joins plus
+    one join+agg per label-propagation round."""
+    cand = minhash_lsh_candidates_md5(df, text_col, id_col, num_hashes,
+                                      bands, shingle_k)
+    sh = df.select(F.col(id_col),
+                   char_shingles(F.col(text_col), shingle_k).alias("sh"))
+    confirmed = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn("jac", F.size(F.array_intersect("sh_a", "sh_b"))
+                        / F.size(F.array_union("sh_a", "sh_b")))
+            .filter(F.col("jac") >= threshold)
+            .select("id_a", "id_b"))
+    comp = connected_components(confirmed, "id_a", "id_b")
+    return (comp.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col), "component"))
+
+
 # --- simhash -----------------------------------------------------------------
 
 

@@ -13,16 +13,20 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "json_to_parquet_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     cores: local parallelism (defaults to $SPARK_GRAFT_CPUS or '*').
+    master: full master URL override (e.g. "local-cluster[4,8,20480]"
+    for a real multi-executor layout on one box); wins over `cores`.
     """
-    if cores is None:
-        env = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{env}]" if env else "local[*]"
-    else:
-        master = f"local[{cores}]"
+    if master is None:
+        if cores is None:
+            env = os.environ.get("SPARK_GRAFT_CPUS")
+            master = f"local[{env}]" if env else "local[*]"
+        else:
+            master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # Python workers are separate processes: make this package importable
@@ -52,6 +56,10 @@ def get_spark(app: str = "json_to_parquet_spark", cores: int | None = None,
         # buffer re-assembly each, measured ~5% of encode wall at 20000
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[] mode ignores this; local-cluster / standalone executors
+        # default to a 1g heap unless told otherwise
+        .config("spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Arrow IPC keeps many threads in JNI critical regions; the JVM

@@ -163,6 +163,35 @@ def test_minhash_dedup_transitive_cluster(spark):
     assert len([i for i in ids if i in (1, 2, 3)]) == 1, ids
 
 
+def test_minhash_dedup_md5_matches_duckdb_cc(spark):
+    """The md5-lane dedup twin's dropped set matches a DuckDB recursive
+    CTE computing the same min-label connected components — value-exact,
+    including a transitive A~B~C chain collapsing to min-id rep."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from json_to_parquet_spark.operators.dedup import minhash_lsh_dedup_md5
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight ") * 6
+    mid = base.replace("quick", "rapid").replace("lazy", "idle")
+    far = mid.replace("brown", "grey").replace("dog", "cat")
+    rows = [(1, base), (2, mid), (3, far),
+            (4, "completely different content about spark query engines "
+                "and columnar codecs " * 8),
+            (5, base)]  # exact dup of 1 → same component
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_id, r.component) for r in
+                 minhash_lsh_dedup_md5(df, threshold=0.5).collect())
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sql = entry._minhash_dedup_md5_sql(threshold=0.5)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want and len(got) >= 2
+    # every chain member except the min id is dropped to that min id
+    dropped = dict(got)
+    assert all(dropped[i] == 1 for i in dropped if i in (2, 3, 5))
+
+
 def test_dedup_null_text_passthrough(spark):
     """NULL-text rows: exact_dedup passes them through (no collapse into
     one NULL group), simhash does not crash, clusters exclude them."""
