@@ -159,7 +159,8 @@ def _write_chunk_file(store_dir: str, chunk_id: int, table: pa.Table) -> None:
 
 def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
                      arrow_schema: pa.Schema, sort_cols: list[str],
-                     store_dir: str | None = None):
+                     store_dir: str | None = None,
+                     presorted: bool = False):
     out_fields = CHUNK_ARROW
     sort_keys = [(c, "ascending") for c in sort_cols]
 
@@ -169,9 +170,14 @@ def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
         # columns first (→ long runs for RLE/dict), then
         # timestamps/ints (→ narrow deltas), unique key last as the
         # total-order tiebreak (cf. column-permutation-for-RLE,
-        # SIGMOD 2020)
-        order = pc.sort_indices(table, sort_keys=sort_keys)
-        table = table.take(order)
+        # SIGMOD 2020). When `presorted`, the permutation was already
+        # applied by the JVM's Tungsten sort inside the shuffle-read
+        # stage (sortWithinPartitions with asc_nulls_last — the same
+        # order pyarrow's at_end produces), so the worker skips the
+        # sort AND the 2x-chunk-size take() gather.
+        if not presorted:
+            order = pc.sort_indices(table, sort_keys=sort_keys)
+            table = table.take(order)
         cols: dict[str, list] = {name: [] for name, _ in out_fields}
         for c in columns:
             t0 = time.perf_counter()
@@ -258,9 +264,20 @@ def encode_chunks(df: DataFrame, key: str, codecs: dict,
     aschema = arrow_schema_for(df.schema)
     sort_cols = [c for c in (sort_cols or []) if c != key] + [key]
     chunked = with_chunk_id(df, key, n_chunks)
+    # The chunk-local row permutation rides the JVM's OWN group sort:
+    # groupBy().applyInArrow requires child ordering on the grouping
+    # column, and sortWithinPartitions(group, *sort_cols) satisfies that
+    # prefix — Catalyst inserts NO second sort (plan-asserted in tests),
+    # so the full permutation costs one Tungsten radix sort inside the
+    # shuffle-read stage and the python worker skips pc.sort_indices +
+    # the 2x-chunk-size take() gather. asc_nulls_last == pyarrow at_end,
+    # keeping payload bytes identical to the worker-sorted path
+    # (SPARK_GRAFT_PYSORT=1 forces the old path; bit-identity is tested).
+    presort = not os.environ.get("SPARK_GRAFT_PYSORT")
     fn = _encode_group_fn(key, columns, codecs, aschema, sort_cols,
-                          store_dir=store_dir)
+                          store_dir=store_dir, presorted=presort)
     out_schema = MANIFEST_SCHEMA if store_dir is not None else CHUNK_SCHEMA
+    order = [F.asc_nulls_last(c) for c in sort_cols]
     if n_chunks <= 8192:
         salts = perfect_shuffle_salts(n_chunks)
         salt_col = F.element_at(
@@ -268,9 +285,19 @@ def encode_chunks(df: DataFrame, key: str, codecs: dict,
             F.col(CHUNK_COL) + 1).alias(SALT_COL)
         chunked = chunked.withColumn(SALT_COL, salt_col)
         chunked = chunked.repartition(n_chunks, SALT_COL)
+        if presort:
+            # group col uses plain asc (nulls-first default) so the
+            # child ordering STRUCTURALLY satisfies applyInArrow's
+            # required ordering — a nulls-last salt would make Catalyst
+            # insert its own (order-destroying) re-sort. Salt is
+            # non-null, so the payload bytes are unaffected.
+            chunked = chunked.sortWithinPartitions(
+                F.asc(SALT_COL), *order)
         return chunked.groupBy(SALT_COL).applyInArrow(fn, schema=out_schema)
     n_part = min(max(n_chunks, 1), 65536)
     chunked = chunked.repartition(n_part, CHUNK_COL)
+    if presort:
+        chunked = chunked.sortWithinPartitions(F.asc(CHUNK_COL), *order)
     return chunked.groupBy(CHUNK_COL).applyInArrow(fn, schema=out_schema)
 
 

@@ -161,3 +161,25 @@ def test_encode_one_chunk_per_task(spark):
              .groupBy("p").agg(F.countDistinct("chunk_id").alias("k"))
              .collect())
     assert len(sizes) == 16 and all(r.k == 1 for r in sizes)
+
+
+def test_encode_jvm_presort_one_sort_bit_identical(spark, monkeypatch):
+    """The chunk-local row permutation rides the JVM group sort: the plan
+    has exactly ONE Sort (sortWithinPartitions satisfies applyInArrow's
+    required ordering — no Catalyst re-sort that could scramble rows) and
+    ONE Exchange, and payload checksums are byte-identical to the
+    worker-side pyarrow sort path (null ordering included)."""
+    import os
+
+    from json_to_parquet_spark.operators.encode import encode_chunks
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    df = synth_webpages(spark, 6000, seed=11)
+    codecs = {"url": "fsst", "lang": "dict", "warc_ts": "for"}
+    chunks = encode_chunks(df, "url", codecs, n_chunks=5)
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Sort ") == 1 and plan.count("Exchange") == 1
+    a = {(r.chunk_id, r.column): r.checksum for r in chunks.collect()}
+    monkeypatch.setenv("SPARK_GRAFT_PYSORT", "1")
+    b = {(r.chunk_id, r.column): r.checksum
+         for r in encode_chunks(df, "url", codecs, n_chunks=5).collect()}
+    assert a == b and len(a) == 25
