@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -129,7 +129,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     banded = sig.select(
         id_col, F.posexplode(band_keys(F.col("__sig"), bands, r))
         .alias("band", "key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    multi = _multi_member_buckets(banded)
+    a, b = multi.alias("a"), multi.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.key") == F.col("b.key"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -137,6 +138,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                      F.col(f"b.{id_col}").alias("id_b"))
              .distinct())
     return pairs
+
+
+def _multi_member_buckets(banded: DataFrame) -> DataFrame:
+    """Drop singleton LSH buckets before the per-bucket self-join.
+
+    Result-preserving (a 1-member bucket cannot produce a pair) but at
+    corpus scale it is the difference between joining n_docs x bands
+    rows and joining only the collision rows: the overwhelming majority
+    of buckets are singletons. A window count is used (not groupBy +
+    semi-join) so the signature pipeline is computed ONCE: the window's
+    (band, key) Exchange + Sort are exactly what the sort-merge
+    self-join requires, so Catalyst reuses them and the filter is
+    plan-free beyond one sorted pass."""
+    w = Window.partitionBy("band", "key")
+    return (banded.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") >= 2).drop("__n"))
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
@@ -233,6 +250,7 @@ def minhash_lsh_candidates_md5(df: DataFrame, text_col: str = "text",
         part = sig.select(F.col(id_col), F.lit(b).alias("band"),
                           key.alias("key"))
         banded = part if banded is None else banded.unionByName(part)
+    banded = _multi_member_buckets(banded)
     a, b_ = banded.alias("a"), banded.alias("b")
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -334,6 +352,7 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
             (F.shiftrightunsigned(F.col("__sh"), b * band_bits)
              .bitwiseAND(F.lit((1 << band_bits) - 1)))
             for b in range(64 // band_bits)])).alias("band", "key"))
+    bands = _multi_member_buckets(bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
