@@ -129,31 +129,35 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     banded = sig.select(
         id_col, F.posexplode(band_keys(F.col("__sig"), bands, r))
         .alias("band", "key"))
-    multi = _multi_member_buckets(banded)
-    a, b = multi.alias("a"), multi.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.key") == F.col("b.key"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
-    return pairs
+    return _bucket_pairs(banded, id_col)
 
 
-def _multi_member_buckets(banded: DataFrame) -> DataFrame:
-    """Drop singleton LSH buckets before the per-bucket self-join.
+def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing an LSH (band, key)
+    bucket — WITHOUT a self-join.
 
-    Result-preserving (a 1-member bucket cannot produce a pair) but at
-    corpus scale it is the difference between joining n_docs x bands
-    rows and joining only the collision rows: the overwhelming majority
-    of buckets are singletons. A window count is used (not groupBy +
-    semi-join) so the signature pipeline is computed ONCE: the window's
-    (band, key) Exchange + Sort are exactly what the sort-merge
-    self-join requires, so Catalyst reuses them and the filter is
-    plan-free beyond one sorted pass."""
-    w = Window.partitionBy("band", "key")
-    return (banded.withColumn("__n", F.count(F.lit(1)).over(w))
-            .filter(F.col("__n") >= 2).drop("__n"))
+    A self-join of the banded stream is the textbook plan, but Spark
+    expands a DataFrame self-join into two independent subtrees, so the
+    whole (expensive) signature pipeline upstream runs twice — verified:
+    even with a merge hint the executed plan shows two scans and no
+    ReusedExchange. Instead: one groupBy(band, key) collects each
+    bucket's sorted id array (singleton buckets — the overwhelming
+    majority at corpus scale — are dropped; they cannot produce a pair),
+    then a nested explode streams exactly the i<j pairs. One shuffle,
+    one computation of the upstream, no join. Hot buckets stream their
+    |b|^2 pairs through the generator without materializing them (the
+    same quadratic output a skew-split join would produce)."""
+    buckets = (banded.groupBy("band", "key")
+               .agg(F.sort_array(F.collect_set(F.col(id_col)))
+                    .alias("__ids"))
+               .filter(F.size("__ids") >= 2))
+    lead = buckets.select(
+        F.posexplode("__ids").alias("__i", "id_a"), "__ids")
+    return (lead.select(
+        "id_a",
+        F.explode(F.slice("__ids", F.col("__i") + F.lit(2),
+                          F.size("__ids"))).alias("id_b"))
+        .distinct())
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
@@ -250,14 +254,7 @@ def minhash_lsh_candidates_md5(df: DataFrame, text_col: str = "text",
         part = sig.select(F.col(id_col), F.lit(b).alias("band"),
                           key.alias("key"))
         banded = part if banded is None else banded.unionByName(part)
-    banded = _multi_member_buckets(banded)
-    a, b_ = banded.alias("a"), banded.alias("b")
-    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+    return _bucket_pairs(banded, id_col)
 
 
 def minhash_lsh_dedup_md5(df: DataFrame, text_col: str = "text",
@@ -352,17 +349,23 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
             (F.shiftrightunsigned(F.col("__sh"), b * band_bits)
              .bitwiseAND(F.lit((1 << band_bits) - 1)))
             for b in range(64 // band_bits)])).alias("band", "key"))
-    bands = _multi_member_buckets(bands)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
-                    .alias("hamming"))
-            .filter(F.col("hamming") <= 3)
-            .distinct())
+    # no self-join (see _bucket_pairs): buckets carry (id, simhash)
+    # structs so the hamming confirm reads both hashes from the pair
+    buckets = (bands.groupBy("band", "key")
+               .agg(F.sort_array(F.collect_set(
+                    F.struct(F.col(id_col), F.col("__sh")))).alias("__xs"))
+               .filter(F.size("__xs") >= 2))
+    lead = buckets.select(F.posexplode("__xs").alias("__i", "__a"), "__xs")
+    pairs = lead.select(
+        "__a", F.explode(F.slice("__xs", F.col("__i") + F.lit(2),
+                                 F.size("__xs"))).alias("__b"))
+    return (pairs.select(
+        F.col(f"__a.{id_col}").alias("id_a"),
+        F.col(f"__b.{id_col}").alias("id_b"),
+        F.bit_count(F.col("__a.__sh").bitwiseXOR(F.col("__b.__sh")))
+        .alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct())
 
 
 # --- exact n-gram Jaccard over blocked pairs ---------------------------------
