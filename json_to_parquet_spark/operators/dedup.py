@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -119,9 +119,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            seed: int = 42) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH.
 
-    Shuffle profile: one explode+groupBy on band key; the self-join is
-    per-bucket only. Hot buckets (boilerplate text) are capped via
-    `spark.sql.adaptive.skewJoin` + the bucket-size filter below.
+    Shuffle profile: one explode+groupBy for the signatures, one
+    groupBy(band, key) that materializes collision buckets — singleton
+    buckets (the vast majority at corpus scale) are dropped, pairs are
+    streamed join-free from each bucket's id array (_bucket_pairs).
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
@@ -239,7 +240,7 @@ def minhash_lsh_candidates_md5(df: DataFrame, text_col: str = "text",
     """Same banded-LSH candidate generation as `minhash_lsh_candidates`
     but with md5 lane hashes and plain string band keys, so a DuckDB
     oracle can reproduce every value. Same shuffle profile: explode →
-    map-side-partial min aggregation → per-bucket self-join."""
+    map-side-partial min aggregation → join-free bucket pairs."""
     r = num_hashes // bands
     shingled = df.select(
         F.col(id_col),
@@ -267,8 +268,8 @@ def minhash_lsh_dedup_md5(df: DataFrame, text_col: str = "text",
     docs as (doc_id, component). A DuckDB recursive CTE reproduces the
     min-label components value-exactly, making the transitive-chain
     clustering itself (not just the candidate pairs) hash-checkable.
-    Same shuffle profile as the production lane: per-bucket joins plus
-    one join+agg per label-propagation round."""
+    Same shuffle profile as the production lane: join-free bucket
+    pairs plus one join+agg per label-propagation round."""
     cand = minhash_lsh_candidates_md5(df, text_col, id_col, num_hashes,
                                       bands, shingle_k)
     sh = df.select(F.col(id_col),
