@@ -206,3 +206,22 @@ def test_dedup_null_text_passthrough(spark):
     assert cl.agg(F.sum("n_docs")).collect()[0][0] == 3  # nulls excluded
     sh = simhash(df).collect()  # must not raise on None text
     assert len(sh) == 5
+
+
+def test_bucket_pairs_hot_bucket(spark):
+    """_bucket_pairs streams exactly C(n,2) ordered pairs from a hot
+    bucket, drops singleton buckets, and dedups ids repeated across
+    bands (collect_set + distinct)."""
+    from json_to_parquet_spark.operators.dedup import _bucket_pairs
+    rows = [(i, 0, 77) for i in range(50)]          # hot bucket: 50 ids
+    rows += [(100 + i, 1, i) for i in range(20)]    # 20 singletons
+    rows += [(200, 2, 99), (201, 2, 99)]            # small bucket
+    rows += [(200, 2, 99)]                          # duplicate member row
+    rows += [(3, 3, 55), (4, 3, 55)]                # pair ALSO in hot bucket
+    df = spark.createDataFrame(rows, "doc_id long, band int, key long")
+    got = _bucket_pairs(df, "doc_id").collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    # (3,4) appears in two buckets but counts once (distinct)
+    assert len(got) == len(pairs) == 50 * 49 // 2 + 1
+    assert all(a < b for a, b in pairs)
+    assert (200, 201) in pairs and (3, 4) in pairs
