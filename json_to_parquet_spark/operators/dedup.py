@@ -13,20 +13,29 @@ Five dedup families, all shuffle-conscious:
                        LSH blocks candidates, exact cosine confirms
 
 Scale design: every family blocks candidates BEFORE any pairwise work —
-the only cross joins are within LSH/blocking buckets (bounded), never
-global. MinHash signatures and band keys are computed with built-in
-xxhash64/array exprs (JVM, codegen); only simhash and embedding math use
-Arrow-vectorized pandas UDFs (numpy matmul — no per-row Python).
+pairwise generation happens only within LSH/blocking buckets (bounded),
+never globally, and is join-free: buckets collapse to sorted element
+arrays whose sliced segment-pairs spread across tasks, so even a
+mega-bucket's C(n,2) output parallelizes (bucket_element_pairs). MinHash
+signatures and band keys are computed with built-in xxhash64/array exprs
+(JVM, codegen); only simhash and embedding math use Arrow-vectorized
+pandas UDFs (numpy matmul — no per-row Python).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
+
+# Buckets are sliced into DEFAULT_SLICE-element segments before pair
+# generation so a hot bucket's C(n,2) output parallelizes across tasks
+# (see bucket_element_pairs). 4096 keeps a slice-pair row under ~64 KB of
+# ids while a 10^6-id bucket still fans out into ~30k independent tasks.
+DEFAULT_SLICE = 4096
 
 from ..functions.text import char_shingles, fingerprint, word_tokens
 
@@ -116,13 +125,19 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
                            bands: int = 16, shingle_k: int = 5,
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           slice_size: int = DEFAULT_SLICE,
+                           max_bucket: int | None = None,
+                           observation: Observation | None = None
+                           ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH.
 
     Shuffle profile: one explode+groupBy for the signatures, one
     groupBy(band, key) that materializes collision buckets — singleton
     buckets (the vast majority at corpus scale) are dropped, pairs are
-    streamed join-free from each bucket's id array (_bucket_pairs).
+    streamed join-free from each bucket's sliced id array, hot buckets
+    fanning out across tasks (bucket_element_pairs). `max_bucket` drops
+    mega-buckets with the count surfaced on `observation`.
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
@@ -130,35 +145,108 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     banded = sig.select(
         id_col, F.posexplode(band_keys(F.col("__sig"), bands, r))
         .alias("band", "key"))
-    return _bucket_pairs(banded, id_col)
+    return _bucket_pairs(banded, id_col, slice_size, max_bucket, observation)
 
 
-def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (id_a < id_b) pairs of ids sharing an LSH (band, key)
-    bucket — WITHOUT a self-join.
+def bucket_element_pairs(bucketed: DataFrame, group_cols: list[str],
+                         elem: Column, slice_size: int = DEFAULT_SLICE,
+                         max_bucket: int | None = None,
+                         observation: Observation | None = None
+                         ) -> DataFrame:
+    """Unordered element pairs (`__a` < `__b`) within each bucket of
+    `bucketed` (one row per (group..., element)) — WITHOUT a self-join,
+    and WITHOUT serializing a hot bucket's C(n,2) pair output into one
+    task.
 
-    A self-join of the banded stream is the textbook plan, but Spark
+    A self-join of the bucketed stream is the textbook plan, but Spark
     expands a DataFrame self-join into two independent subtrees, so the
-    whole (expensive) signature pipeline upstream runs twice — verified:
-    even with a merge hint the executed plan shows two scans and no
-    ReusedExchange. Instead: one groupBy(band, key) collects each
-    bucket's sorted id array (singleton buckets — the overwhelming
-    majority at corpus scale — are dropped; they cannot produce a pair),
-    then a nested explode streams exactly the i<j pairs. One shuffle,
-    one computation of the upstream, no join. Hot buckets stream their
-    |b|^2 pairs through the generator without materializing them (the
-    same quadratic output a skew-split join would produce)."""
-    buckets = (banded.groupBy("band", "key")
-               .agg(F.sort_array(F.collect_set(F.col(id_col)))
-                    .alias("__ids"))
-               .filter(F.size("__ids") >= 2))
-    lead = buckets.select(
-        F.posexplode("__ids").alias("__i", "id_a"), "__ids")
-    return (lead.select(
-        "id_a",
-        F.explode(F.slice("__ids", F.col("__i") + F.lit(2),
-                          F.size("__ids"))).alias("id_b"))
-        .distinct())
+    whole (expensive) pipeline upstream runs twice — verified: even with
+    a merge hint the executed plan shows two scans and no ReusedExchange.
+    Instead: one groupBy collects each bucket's sorted distinct element
+    array (singleton buckets — the overwhelming majority at corpus
+    scale — are dropped; they cannot produce a pair). The array is then
+    cut into `slice_size`-element segments and every (i <= j) segment
+    pair becomes its own row, hash-spread across tasks by a second
+    (tiny) shuffle that carries only the segment arrays — so a
+    boilerplate mega-bucket of n ids fans its C(n,2) pair generation out
+    over ~ (n/slice_size)^2 / 2 independent tasks instead of one, while
+    a normal bucket (n <= slice_size) stays a single row. Within a row,
+    same-segment pairs stream i<j via posexplode+slice and cross-segment
+    pairs stream the full a×b product; segments are contiguous cuts of
+    the SORTED array, so `__a` < `__b` holds everywhere and the pair set
+    is exactly the unsliced one.
+
+    Memory bound: the aggregation materializes one O(|bucket|) element
+    array per bucket in its task (8 bytes/id ≈ 8 MB for a 10^6-id
+    bucket) — linear, not quadratic; the slice shuffle then carries each
+    segment ~n/slice_size times (n²/slice_size ids total — for n = 10^6,
+    slice 4096: ~2 GB, dwarfed by the 10^12-pair output it spreads).
+
+    `max_bucket` caps bucket size: larger buckets (mass boilerplate — at
+    Common-Crawl scale pairing them is neither tractable nor useful) are
+    DROPPED before pair generation, never silently: the drop count and
+    dropped-element count are recorded on `observation` (one is created
+    if the caller passed none) as `oversize_buckets` / `oversize_ids`,
+    readable after the first action via `Observation.get`. Default None
+    = nothing dropped."""
+    agg = (bucketed.groupBy(*group_cols)
+           .agg(F.array_distinct(F.sort_array(F.collect_list(elem)))
+                .alias("__es"))
+           .filter(F.size("__es") >= 2))
+    if max_bucket is not None:
+        if observation is None:
+            observation = Observation("lsh_oversize")
+        over = F.size("__es") > max_bucket
+        agg = agg.observe(
+            observation,
+            F.sum(F.when(over, 1).otherwise(0)).alias("oversize_buckets"),
+            F.sum(F.when(over, F.size("__es")).otherwise(0))
+            .alias("oversize_ids"))
+        agg = agg.filter(~over)
+    b = slice_size
+    nsl = F.ceil(F.size("__es") / F.lit(b)).cast("int")
+    seg_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), nsl - F.lit(1)),
+        lambda i: F.transform(F.sequence(i, nsl - F.lit(1)),
+                              lambda j: F.struct(i.alias("i"),
+                                                 j.alias("j")))))
+    segs = (agg.select(*group_cols, F.explode(seg_pairs).alias("__ij"),
+                       "__es")
+            .select(*group_cols,
+                    F.col("__ij.i").alias("__si"),
+                    F.col("__ij.j").alias("__sj"),
+                    F.slice("__es", F.col("__ij.i") * b + 1, b).alias("__ea"),
+                    # NULL when same-segment → pair with __ea's own suffix
+                    F.when(F.col("__ij.i") != F.col("__ij.j"),
+                           F.slice("__es", F.col("__ij.j") * b + 1, b))
+                    .alias("__eb")))
+    # explicit REPARTITION_BY_NUM: AQE would coalesce a by-column
+    # repartition of these few-KB rows back into one partition — exactly
+    # the serialization this exists to break
+    n_part = int(bucketed.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    segs = segs.repartition(n_part, *group_cols, "__si", "__sj")
+    lead = segs.select(F.posexplode("__ea").alias("__p", "__a"),
+                       "__ea", "__eb")
+    return lead.select(
+        "__a",
+        F.explode(F.coalesce(
+            F.col("__eb"),
+            F.slice("__ea", F.col("__p") + F.lit(2), F.size("__ea"))))
+        .alias("__b"))
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str,
+                  slice_size: int = DEFAULT_SLICE,
+                  max_bucket: int | None = None,
+                  observation: Observation | None = None) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing an LSH (band, key)
+    bucket — join-free, hot-bucket-sliced (see bucket_element_pairs)."""
+    pairs = bucket_element_pairs(banded, ["band", "key"], F.col(id_col),
+                                 slice_size, max_bucket, observation)
+    return (pairs.select(F.col("__a").alias("id_a"),
+                         F.col("__b").alias("id_b"))
+            .distinct())
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
@@ -172,13 +260,16 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     the component — the canonical "keep smallest id" representative.
     Each round is one shuffle join + one aggregation; dedup candidate
     graphs are near-diameter-1 (stars of near-identical docs), so this
-    converges in 2-3 rounds in practice."""
+    converges in 2-3 rounds in practice. A graph whose component
+    diameter exceeds `max_iter` raises rather than silently returning
+    partial (wrong) labels — raise `max_iter` for long-chain graphs."""
     edges = (pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
              .unionByName(pairs.select(F.col(dst).alias("s"),
                                        F.col(src).alias("d")))
              .distinct())
     labels = (edges.select(F.col("s").alias("id")).distinct()
               .withColumn("component", F.col("id")))
+    changed = None
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.s == labels.id)
                         .groupBy(F.col("d").alias("id"))
@@ -195,20 +286,30 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         labels = updated
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing — component diameter exceeds "
+            f"max_iter); call again with a larger max_iter")
     return labels
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.7,
                       num_hashes: int = 64, bands: int = 16,
-                      shingle_k: int = 5) -> DataFrame:
+                      shingle_k: int = 5,
+                      max_bucket: int | None = None,
+                      observation: Observation | None = None) -> DataFrame:
     """Near-dup removal: LSH candidates → exact shingle-Jaccard confirm →
     connected components over confirmed pairs → keep the smallest id of
     each component. Transitive chains (A~B, B~C, A≁C) collapse to ONE
     representative — pairwise loser-dropping would drop C against a B
-    that is itself dropped against A."""
+    that is itself dropped against A. `max_bucket` drops mega-buckets
+    (their members are then KEPT, not deduped — surfaced on
+    `observation`, see bucket_element_pairs)."""
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
-                                  shingle_k)
+                                  shingle_k, max_bucket=max_bucket,
+                                  observation=observation)
     sh = df.select(F.col(id_col),
                    char_shingles(F.col(text_col), shingle_k).alias("sh"))
     confirmed = (
@@ -339,10 +440,17 @@ def simhash_md5(df: DataFrame, text_col: str = "text",
 
 
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
-                          id_col: str = "doc_id", band_bits: int = 16
+                          id_col: str = "doc_id", band_bits: int = 16,
+                          slice_size: int = DEFAULT_SLICE,
+                          max_bucket: int | None = None,
+                          observation: Observation | None = None
                           ) -> DataFrame:
     """Hamming-near pairs: identical 16-bit simhash band → candidate;
-    confirm with popcount(xor) <= 3 (bit_count is a built-in)."""
+    confirm with popcount(xor) <= 3 (bit_count is a built-in).
+
+    No self-join (see bucket_element_pairs): buckets carry (id, simhash)
+    structs so the hamming confirm reads both hashes from the pair, and
+    hot buckets fan their pair generation out across tasks."""
     s = simhash(df, text_col, "__sh").select(id_col, "__sh")
     bands = s.select(
         id_col, "__sh",
@@ -350,16 +458,9 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
             (F.shiftrightunsigned(F.col("__sh"), b * band_bits)
              .bitwiseAND(F.lit((1 << band_bits) - 1)))
             for b in range(64 // band_bits)])).alias("band", "key"))
-    # no self-join (see _bucket_pairs): buckets carry (id, simhash)
-    # structs so the hamming confirm reads both hashes from the pair
-    buckets = (bands.groupBy("band", "key")
-               .agg(F.sort_array(F.collect_set(
-                    F.struct(F.col(id_col), F.col("__sh")))).alias("__xs"))
-               .filter(F.size("__xs") >= 2))
-    lead = buckets.select(F.posexplode("__xs").alias("__i", "__a"), "__xs")
-    pairs = lead.select(
-        "__a", F.explode(F.slice("__xs", F.col("__i") + F.lit(2),
-                                 F.size("__xs"))).alias("__b"))
+    pairs = bucket_element_pairs(
+        bands, ["band", "key"], F.struct(F.col(id_col), F.col("__sh")),
+        slice_size, max_bucket, observation)
     return (pairs.select(
         F.col(f"__a.{id_col}").alias("id_a"),
         F.col(f"__b.{id_col}").alias("id_b"),
@@ -432,16 +533,29 @@ def hyperplane_signature(dim: int, nbits: int = 16, seed: int = 42):
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", dim: int = 64,
                             threshold: float = 0.95, nbits: int = 12,
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42,
+                            slice_size: int = DEFAULT_SLICE,
+                            max_bucket: int | None = None,
+                            observation: Observation | None = None
+                            ) -> DataFrame:
     """Cosine near-dup pairs: hyperplane-LSH bucket blocking + exact
-    cosine confirm inside buckets."""
+    cosine confirm inside buckets.
+
+    Join-free: buckets carry (id, vector) structs through
+    bucket_element_pairs, so the hyperplane pandas_udf and the upstream
+    scan run ONCE (the old bucket self-join expanded into two subtrees
+    that each recomputed the signature pipeline) and hot buckets fan
+    out across tasks. The vector rides the struct into the pair row,
+    where the cosine confirm reads both sides JVM-side."""
     sig = hyperplane_signature(dim, nbits, seed)
-    s = df.select(F.col(id_col), F.col(vec_col).alias("v"),
+    s = df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("v"),
                   sig(F.col(vec_col)).alias("bucket"))
-    a, b = s.alias("a"), s.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"))
+    pairs = bucket_element_pairs(
+        s, ["bucket"], F.struct(F.col(id_col), F.col("v")),
+        slice_size, max_bucket, observation)
+    return (pairs.select(F.col(f"__a.{id_col}").alias("id_a"),
+                         F.col(f"__b.{id_col}").alias("id_b"),
+                         cosine_expr(F.col("__a.v"), F.col("__b.v"))
+                         .alias("cosine"))
             .filter(F.col("cosine") >= threshold))

@@ -110,6 +110,17 @@ def test_decode_map_detects_straddled_chunk(spark):
     assert decode_chunks(straddled, pages.schema, shuffle=True).count() == 300
 
 
+def test_embedding_neardup_single_scan(spark):
+    """embedding_neardup_pairs must read the embeddings table ONCE: the
+    old bucket self-join expanded into two subtrees that each recomputed
+    the hyperplane pandas_udf and the scan."""
+    from json_to_parquet_spark.operators.dedup import embedding_neardup_pairs
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(embedding_neardup_pairs(emb), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("ArrowEvalPython") == 1, plan  # hyperplane udf once
+
+
 def test_topk_uses_partial_limit(spark):
     """orderBy().limit(k) must plan TakeOrderedAndProject, not a full
     global sort."""

@@ -208,6 +208,49 @@ def test_dedup_null_text_passthrough(spark):
     assert len(sh) == 5
 
 
+def test_bucket_pairs_hot_bucket_spreads_across_tasks(spark):
+    """A mega-bucket's C(n,2) pair generation must fan out over many
+    tasks (sliced segment pairs), produce exactly the unsliced pair set,
+    and keep id_a < id_b everywhere."""
+    from json_to_parquet_spark.operators.dedup import _bucket_pairs
+    n = 2000
+    rows = [(i, 0, 77) for i in range(n)]         # one 2000-id bucket
+    rows += [(5000, 1, 3), (5001, 1, 3)]          # plus a normal bucket
+    df = spark.createDataFrame(rows, "doc_id long, band int, key long")
+    pairs = _bucket_pairs(df, "doc_id", slice_size=64)
+    # distinct() re-shuffles by pair value; measure spread where the
+    # pairs are GENERATED (pre-distinct) via the raw element-pair stream
+    from json_to_parquet_spark.operators.dedup import bucket_element_pairs
+    raw = bucket_element_pairs(df, ["band", "key"], F.col("doc_id"),
+                               slice_size=64)
+    parts = (raw.select(F.spark_partition_id().alias("p"))
+             .distinct().count())
+    assert parts >= 8, f"pair generation concentrated in {parts} task(s)"
+    got = pairs.collect()
+    assert len(got) == n * (n - 1) // 2 + 1
+    assert all(r.id_a < r.id_b for r in got)
+    # slicing must not change the pair set (vs one-segment generation)
+    unsliced = _bucket_pairs(df, "doc_id", slice_size=10 ** 6)
+    assert pairs.exceptAll(unsliced).count() == 0
+    assert unsliced.exceptAll(pairs).count() == 0
+
+
+def test_bucket_pairs_max_bucket_drops_and_surfaces(spark):
+    """max_bucket drops oversized buckets from pair generation, never
+    silently: the Observation carries the dropped bucket/id counts."""
+    from pyspark.sql import Observation
+
+    from json_to_parquet_spark.operators.dedup import _bucket_pairs
+    rows = [(i, 0, 77) for i in range(50)]        # oversize (50 > 10)
+    rows += [(200, 2, 99), (201, 2, 99)]          # normal bucket
+    df = spark.createDataFrame(rows, "doc_id long, band int, key long")
+    obs = Observation("oversize")
+    pairs = _bucket_pairs(df, "doc_id", max_bucket=10, observation=obs)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(200, 201)}
+    assert obs.get == {"oversize_buckets": 1, "oversize_ids": 50}
+
+
 def test_bucket_pairs_hot_bucket(spark):
     """_bucket_pairs streams exactly C(n,2) ordered pairs from a hot
     bucket, drops singleton buckets, and dedups ids repeated across
