@@ -336,6 +336,23 @@ def q_simhash_md5(spark, sf):
     return simhash_md5(_t(spark, sf, "documents"))
 
 
+def q_chunk_assignment_md5(spark, sf):
+    """Md5-lane twin of the engine-core chunk assignment: per-chunk row
+    counts under pmod(md5_lane_hash(doc_id), 7) computed by the REAL
+    `with_chunk_id` (hash swapped for the oracle-computable lane) —
+    DuckDB reproduces the assignment closed-form, value-checking the
+    coalesce/pmod/cast structure that chunk membership, resume, and the
+    store layout all hang off."""
+    from json_to_parquet_spark.operators.chunking import with_chunk_id
+    from json_to_parquet_spark.operators.dedup import md5_lane_hash
+    d = _t(spark, sf, "documents")
+    chunked = with_chunk_id(
+        d, "doc_id", 7,
+        hash_fn=lambda c: md5_lane_hash(c.cast("string"), 0))
+    return (chunked.groupBy(F.col("__chunk_id").alias("chunk_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
 def q_embedding_neardup(spark, sf):
     from json_to_parquet_spark.operators.dedup import cosine_expr
     emb = _t(spark, sf, "embeddings").select(
@@ -537,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_candidates_md5": _shipped(q_minhash_candidates_md5),
         "q_minhash_dedup_dropped_md5": _shipped(q_minhash_dedup_dropped_md5),
         "q_simhash_md5": _shipped(q_simhash_md5),
+        "q_chunk_assignment_md5": _shipped(q_chunk_assignment_md5),
         # rows-only (hash-seeded / pipeline / stubbed)
         "q_minhash_candidates": _shipped(q_minhash_candidates),
         "q_minhash_dedup_kept": _shipped(q_minhash_dedup_kept),
@@ -974,6 +992,12 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_candidates_md5": _minhash_md5_sql(),
         "q_minhash_dedup_dropped_md5": _minhash_dedup_md5_sql(),
         "q_simhash_md5": _simhash_md5_sql(),
+        "q_chunk_assignment_md5": f"""
+            SELECT CAST(h % 7 AS INTEGER) AS chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM (SELECT {_lane_sql('doc_id::VARCHAR', 0)} AS h
+                  FROM documents)
+            GROUP BY 1""",
         "q_chunk_stats": _chunk_stats_sql(),
         "q_codec_selection": _codec_selection_sql(),
         "q_media_meta_md5": _media_meta_md5_sql(),

@@ -11,23 +11,32 @@ helper below is for *aggregations over skewed keys*, not for chunking.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 CHUNK_COL = "__chunk_id"
 
 
-def with_chunk_id(df: DataFrame, key: str, n_chunks: int) -> DataFrame:
+def with_chunk_id(df: DataFrame, key: str, n_chunks: int,
+                  hash_fn: Callable[[Column], Column] = F.xxhash64
+                  ) -> DataFrame:
     """Attach the deterministic chunk id column.
 
-    NULL keys land in chunk 0 (xxhash64 of NULL is NULL — coalesced so
+    NULL keys land in chunk 0 (the hash of NULL is NULL — coalesced so
     such rows are still encoded rather than silently grouped apart).
     For bit-reproducible chunk payloads the key should be UNIQUE per row
     (it is the sort tiebreak; duplicate keys make intra-chunk order of
-    those rows arbitrary — correct but not checksum-stable)."""
+    those rows arbitrary — correct but not checksum-stable).
+
+    `hash_fn` swaps the key hash (production: xxhash64). The md5-lane
+    oracle twin (q_chunk_assignment_md5) passes dedup.md5_lane_hash so a
+    DuckDB oracle can reproduce the identical pmod assignment closed-form
+    — value-checking this function's coalesce/pmod/cast structure."""
     return df.withColumn(
         CHUNK_COL,
-        F.coalesce(F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)),
+        F.coalesce(F.pmod(hash_fn(F.col(key)), F.lit(n_chunks)),
                    F.lit(0)).cast("int")
     )
 
