@@ -332,9 +332,53 @@ def _batch_dirs(out_dir: str) -> list[str]:
             if os.path.exists(_meta_file(os.path.join(root, d)))]
 
 
+def _parse_byte_conf(s: str) -> int:
+    """Spark size-conf string ('128MB', '4194304b', '1g') → bytes."""
+    t = s.strip().lower()
+    for suf, mult in (("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+                      ("mb", 1 << 20), ("kb", 1 << 10), ("p", 1 << 50),
+                      ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20),
+                      ("k", 1 << 10), ("b", 1)):
+        if t.endswith(suf):
+            return int(float(t[: -len(suf)])) * mult
+    return int(t)
+
+
+def _store_needs_shuffle_decode(spark: SparkSession, chunks_dir: str) -> bool:
+    """True when some chunk file could have its rows SPLIT across scan
+    partitions — the one shape the zero-shuffle mapInArrow decode cannot
+    group in-task. Spark splits a parquet file only when its size exceeds
+    maxSplitBytes >= min(maxPartitionBytes, openCostInBytes), and a split
+    file straddles only if it holds >1 row group (row groups map whole to
+    the slice containing their midpoint). The engine's own writers emit
+    one row group per chunk file, so this scan normally finds nothing —
+    it exists for foreign/rewritten stores and for JVM-written stores
+    whose chunks outgrew parquet.block.size. Driver-side footer reads are
+    limited to files above the split threshold, with early exit."""
+    import pyarrow.parquet as pq
+    thresh = min(
+        _parse_byte_conf(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                        "128MB")),
+        _parse_byte_conf(spark.conf.get("spark.sql.files.openCostInBytes",
+                                        "4MB")))
+    for root, _, files in os.walk(chunks_dir):
+        for f in files:
+            if f.startswith((".", "_")) or not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            try:
+                if (os.path.getsize(p) > thresh
+                        and pq.ParquetFile(p).metadata.num_row_groups > 1):
+                    return True
+            except OSError:
+                continue
+    return False
+
+
 def read_encoded(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
-                 where: tuple | None = None) -> DataFrame:
+                 where: tuple | None = None,
+                 shuffle: bool | None = None) -> DataFrame:
     """Decode the chunk store back to a DataFrame. A streaming store
     (per-batch sub-stores under out_dir/batches/) is unioned
     transparently.
@@ -346,16 +390,25 @@ def read_encoded(spark: SparkSession, out_dir: str,
     (lo/hi None = open-ended); the exact residual filter is applied after
     decode. Pruning is conservative: chunks with NULL bounds (binary
     columns, min/max failures) and chunks missing from the manifest
-    (crash window between store write and manifest append) are KEPT."""
+    (crash window between store write and manifest append) are KEPT.
+    shuffle — None (default) auto-detects whether any chunk file could
+    straddle scan partitions (splittable multi-row-group file) and falls
+    back to the groupBy decode for the whole read instead of failing
+    mid-job; False skips the detection walk (caller asserts a
+    one-row-group-per-file store — the engine's own writers guarantee
+    it); True forces the shuffle path."""
     batches = _batch_dirs(out_dir)
     if batches:
-        out = read_encoded(spark, batches[0], columns, where)
+        out = read_encoded(spark, batches[0], columns, where, shuffle)
         for b in batches[1:]:
-            out = out.unionByName(read_encoded(spark, b, columns, where))
+            out = out.unionByName(
+                read_encoded(spark, b, columns, where, shuffle))
         return out
     with open(_meta_file(out_dir)) as fh:
         meta = json.load(fh)
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    if shuffle is None:
+        shuffle = _store_needs_shuffle_decode(spark, _chunks_path(out_dir))
     chunks = spark.read.parquet(_chunks_path(out_dir))
     residual = None
     if where is not None:
@@ -391,7 +444,7 @@ def read_encoded(spark: SparkSession, out_dir: str,
             residual = residual & (F.col(col) <= F.lit(hi))
         if columns is not None and col not in columns:
             columns = list(columns) + [col]
-    out = decode_chunks(chunks, schema, columns=columns)
+    out = decode_chunks(chunks, schema, columns=columns, shuffle=shuffle)
     if residual is not None:
         out = out.filter(residual)
     return out

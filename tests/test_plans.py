@@ -121,6 +121,45 @@ def test_embedding_neardup_single_scan(spark):
     assert plan.count("ArrowEvalPython") == 1, plan  # hyperplane udf once
 
 
+def test_read_encoded_auto_fallback_multi_rowgroup(spark, tmp_path):
+    """A chunk store containing a splittable multi-row-group chunk file
+    (foreign writer / JVM block-size overflow) must decode correctly via
+    the auto-detected shuffle path instead of failing mid-read with
+    instructions; shuffle=False opts out of the detection walk and keeps
+    the zero-Exchange map path."""
+    import pyarrow.parquet as pq
+
+    from json_to_parquet_spark.plans import pipeline
+    from json_to_parquet_spark.sources.webpages import synth_webpages
+    pages = synth_webpages(spark, 500, partitions=4)
+    out = str(tmp_path / "store")
+    pipeline.run_encode(spark, pages, out, n_chunks=3)
+    # rewrite one chunk file one-row-group-PER-ROW (foreign-writer shape)
+    f = out + "/chunks/chunk_id=1/part-00000.parquet"
+    pq.write_table(pq.read_table(f), f, row_group_size=1,
+                   compression="none")
+    meta = pq.ParquetFile(f).metadata
+    assert meta.num_row_groups > 1
+    import os
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # force Spark to split the rewritten file across scan partitions
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        assert os.path.getsize(f) > 8192  # genuinely splittable
+        decoded = pipeline.read_encoded(spark, out)
+        assert "Exchange" in plan_of(decoded, mode="simple")  # auto-shuffle
+        assert decoded.count() == 500
+        # explicit opt-out (caller asserts single-row-group store) keeps
+        # the zero-Exchange map plan
+        fast = pipeline.read_encoded(spark, out, shuffle=False)
+        assert "Exchange" not in plan_of(fast, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
 def test_topk_uses_partial_limit(spark):
     """orderBy().limit(k) must plan TakeOrderedAndProject, not a full
     global sort."""
