@@ -28,13 +28,16 @@ previous per-symbol `bytes.replace` loop re-streamed the whole blob ~128
 times and saturated memory bandwidth; this pass touches each byte O(1)
 times).
 
-Symbols are RAW byte strings of the original data (no nested
-symbols-of-symbols), so decode is order-independent: replace each code
-byte with its symbol. Symbol discovery is iterative over a bounded
-sample; later rounds count n-grams of the residual-after-substitution so
-occurrences consumed by earlier picks are not double-counted, and grams
-that contain an already-assigned code byte are skipped (they would not be
-raw data).
+Symbol tables are TWO-LEVEL (see `build_two_level_tables`): level-1
+symbols are raw byte strings of the original data; level-2 symbols are
+substrings of the level-1-encoded stream and may contain level-1 CODES —
+the canonical FSST symbols-of-symbols trick, kept to exactly two levels.
+Decode expands level by level (`decode` re-derives each symbol's level
+from the codes it contains), highest level first. Symbol discovery is
+iterative over a bounded sample; later rounds count n-grams of the
+residual-after-substitution so occurrences consumed by earlier picks are
+not double-counted, and grams that contain an already-assigned code byte
+are skipped within a level (they would not be raw data at that level).
 
 If the chunk uses too many distinct byte values (e.g. random binary),
 there are no free codes and the encoder signals "inapplicable" — the

@@ -134,8 +134,6 @@ def _write_chunk_file(store_dir: str, chunk_id: int, table: pa.Table) -> None:
 
     import pyarrow.parquet as pq
 
-    if os.environ.get("SPARK_GRAFT_SKIP_STORE_WRITE"):  # perf-isolation hook
-        return
     d = os.path.join(store_dir, f"chunk_id={chunk_id}")
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(store_dir, f".tmp-{uuid.uuid4().hex}.parquet")
@@ -160,7 +158,8 @@ def _write_chunk_file(store_dir: str, chunk_id: int, table: pa.Table) -> None:
 def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
                      arrow_schema: pa.Schema, sort_cols: list[str],
                      store_dir: str | None = None,
-                     presorted: bool = False):
+                     presorted: bool = False,
+                     skip_store_write: bool = False):
     out_fields = CHUNK_ARROW
     sort_keys = [(c, "ascending") for c in sort_cols]
 
@@ -211,10 +210,13 @@ def _encode_group_fn(key_col: str, columns: list[str], codecs: dict,
         # direct store write: persist the payload rows HERE (Arrow →
         # parquet, no JVM round-trip) and return manifest rows only —
         # the partition column chunk_id lives in the directory name
-        file_tbl = pa.table(
-            {name: pa.array(cols[name], type=t) for name, t in out_fields
-             if name != "chunk_id"})
-        _write_chunk_file(store_dir, chunk_id, file_tbl)
+        if not skip_store_write:  # perf-isolation hook (flag captured
+            # DRIVER-side at plan time so manifest status can't disagree
+            # with what the workers actually did)
+            file_tbl = pa.table(
+                {name: pa.array(cols[name], type=t)
+                 for name, t in out_fields if name != "chunk_id"})
+            _write_chunk_file(store_dir, chunk_id, file_tbl)
         return pa.table(
             {name: pa.array(cols[name], type=t) for name, t in out_fields
              if name != "payload"})
@@ -274,8 +276,10 @@ def encode_chunks(df: DataFrame, key: str, codecs: dict,
     # keeping payload bytes identical to the worker-sorted path
     # (SPARK_GRAFT_PYSORT=1 forces the old path; bit-identity is tested).
     presort = not os.environ.get("SPARK_GRAFT_PYSORT")
+    skip_write = bool(os.environ.get("SPARK_GRAFT_SKIP_STORE_WRITE"))
     fn = _encode_group_fn(key, columns, codecs, aschema, sort_cols,
-                          store_dir=store_dir, presorted=presort)
+                          store_dir=store_dir, presorted=presort,
+                          skip_store_write=skip_write)
     out_schema = MANIFEST_SCHEMA if store_dir is not None else CHUNK_SCHEMA
     order = [F.asc_nulls_last(c) for c in sort_cols]
     if n_chunks <= 8192:

@@ -113,6 +113,9 @@ def completed_chunks(spark: SparkSession, out_dir: str,
         m = spark.read.parquet(path)
     except Exception:
         return None
+    # rows from a SKIP_STORE_WRITE perf run carry status='skipped' — they
+    # have no backing chunk files and must not mark a chunk complete
+    m = m.filter(F.col("status") == "ok")
     return (m.groupBy("chunk_id")
             .agg(F.countDistinct("column").alias("ncols"))
             .filter(F.col("ncols") >= n_cols)
@@ -127,7 +130,8 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
                target_chunk_bytes: int = 32 << 20, resume: bool = True,
                max_chunks_this_run: int | None = None,
                post_compress: str | None = None,
-               direct_store: bool = True) -> dict:
+               direct_store: bool | None = None,
+               store_is_shared: bool = False) -> dict:
     """Run (or resume) the encode pipeline. Returns run metrics.
 
     Pass-1 sampling is capped by ROWS (`sample_rows`), not fraction —
@@ -135,12 +139,30 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
     any table size. `sample_fraction` overrides the derived fraction when
     set explicitly.
 
-    direct_store=True (default): chunk files are written by the encode
-    workers themselves (see operators.encode.encode_chunks store_dir) —
+    direct_store=True: chunk files are written by the encode workers
+    themselves (see operators.encode.encode_chunks store_dir) —
     identical store layout, but encoded payloads never round-trip
-    through the JVM writer. False keeps the Spark partitioned-write
-    path (useful where workers cannot reach the store filesystem)."""
+    through the JVM writer. Workers write `out_dir` with plain POSIX
+    I/O, so the path must be reachable from every executor: on a
+    multi-node master that means a shared mount, which only the caller
+    can attest (`store_is_shared=True`). Default (None) auto-enables it
+    exactly when that is provable — local/local-cluster masters (one
+    machine) or an explicit `store_is_shared` — and otherwise falls back
+    to the Spark partitioned-write path rather than silently scattering
+    chunk files across executor-local filesystems. Passing
+    direct_store=True on a multi-node master without `store_is_shared`
+    raises."""
     t0 = time.perf_counter()
+    worker_local_fs = (spark.sparkContext.master or "").startswith("local")
+    if direct_store is None:
+        direct_store = worker_local_fs or store_is_shared
+    elif direct_store and not (worker_local_fs or store_is_shared):
+        raise ValueError(
+            "direct_store=True on a non-local master: executors would "
+            "write chunk files to THEIR local filesystems and the store "
+            "would be silently incomplete. Pass store_is_shared=True if "
+            f"{out_dir!r} is on a mount every executor can reach, or use "
+            "direct_store=False for the Spark partitioned-write path.")
     os.makedirs(out_dir, exist_ok=True)
     columns = [f.name for f in src.schema.fields]
 
@@ -257,11 +279,17 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
         rows = encode_chunks(chunked.drop(CHUNK_COL), key, plan, n_chunks,
                              sort_cols=sort_order,
                              store_dir=_chunks_path(out_dir))
+        # the perf-isolation hook suppresses the worker chunk-file writes;
+        # its manifest rows must say so, or a stray env var would yield a
+        # store that claims 'ok' with zero data files (and resume would
+        # treat the hollow chunks as complete)
+        status = ("skipped" if os.environ.get("SPARK_GRAFT_SKIP_STORE_WRITE")
+                  else "ok")
         manifest = rows.select(
             "chunk_id", "column", "codec", "n_rows", "raw_bytes",
             "enc_bytes", "checksum", "wall_ms", "min_val", "max_val") \
             .withColumn("run_id", F.lit(run_id)) \
-            .withColumn("status", F.lit("ok"))
+            .withColumn("status", F.lit(status))
         manifest.write.mode("append").parquet(_manifest_path(out_dir))
         encode_wall = time.perf_counter() - t_encode
         t_manifest = time.perf_counter()

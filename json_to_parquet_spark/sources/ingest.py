@@ -46,13 +46,22 @@ def ingest_json(spark: SparkSession, path: str, multi_line: bool = False,
 
 
 def _split_concat_docs(blob: str) -> list[str]:
-    """Split back-to-back `{...}{...}` JSON objects (quote-aware).
+    """Split back-to-back `{...}{...}` JSON objects (quote-aware) and
+    normalize each document to one physical line, JSON-lines-safe.
 
     The reference accepts such files via brace counting
     (src/JsonFormater.java:32-46) but counts braces INSIDE string values
     too; this splitter tracks strings and escapes, so documents like
     {"a": "}"} split correctly. Vectorized numpy state machine — one pass
-    over the file bytes, no per-char Python."""
+    over the file bytes, no per-char Python.
+
+    Newline handling (quote-aware, NOT a blanket replace): \\n/\\r
+    OUTSIDE string values are insignificant inter-token whitespace →
+    space; raw \\n/\\r INSIDE string values — illegal JSON that lenient
+    parsers (incl. Spark's) accept — are rewritten to the proper
+    two-byte escapes \\\\n/\\\\r, so the string CONTENT survives the
+    downstream JSON parse bit-exactly while every emitted document stays
+    a single line."""
     import numpy as np
     data = blob.encode("utf-8")
     b = np.frombuffer(data, dtype=np.uint8)
@@ -75,6 +84,30 @@ def _split_concat_docs(blob: str) -> list[str]:
     depth = np.cumsum(opens.astype(np.int32)) - np.cumsum(closes.astype(np.int32))
     ends = np.flatnonzero(closes & (depth == 0))  # inclusive end offsets
     starts = np.flatnonzero(opens & (depth == 1))  # depth AFTER the open
+    # --- newline normalization over the whole buffer, positions remapped
+    nl = (b == 0x0A) | (b == 0x0D)
+    out = b.copy()
+    out[nl & outside] = ord(" ")
+    inside_nl = np.flatnonzero(nl & ~outside)
+    if len(inside_nl):
+        # expand each in-string newline byte to '\' + ('n'|'r')
+        reps = np.ones(n, dtype=np.int64)
+        reps[inside_nl] = 2
+        pos = np.cumsum(reps, dtype=np.int64) - reps  # input→output offset
+        exp = np.empty(int(pos[-1] + reps[-1]), dtype=np.uint8)
+        exp[pos] = out
+        exp[pos[inside_nl]] = ord("\\")
+        exp[pos[inside_nl] + 1] = np.where(
+            b[inside_nl] == 0x0A, ord("n"), ord("r")).astype(np.uint8)
+        out_bytes = exp.tobytes()
+
+        def span(s: int, e: int) -> bytes:  # '{'/'}' never expand
+            return out_bytes[pos[s]: pos[e] + 1]
+    else:
+        out_bytes = out.tobytes()
+
+        def span(s: int, e: int) -> bytes:
+            return out_bytes[s: e + 1]
     docs = []
     prev_end = -1
     for e in ends:
@@ -82,7 +115,7 @@ def _split_concat_docs(blob: str) -> list[str]:
         if len(s_candidates) == 0:
             continue
         s = int(s_candidates[0])
-        docs.append(data[s : int(e) + 1].decode("utf-8", "replace"))
+        docs.append(span(s, int(e)).decode("utf-8", "replace"))
         prev_end = int(e)
     return docs
 
@@ -95,17 +128,18 @@ def ingest_json_concat(spark: SparkSession, path: str,
     JSON source turns into `_corrupt_record`.
 
     Plan (DataFrame-only, per the input hint — no RDD hop): wholetext
-    scan → per-file vectorized quote-aware splitter (mapInPandas),
-    flattening each document to one physical line (raw newlines inside
-    JSON STRING values are illegal JSON, so any newline in a document is
-    insignificant inter-token whitespace — replacing it with a space
-    preserves semantics exactly) → spill the one-doc-per-line stream to
-    `scratch_dir` as text → standard JSON-lines union-schema inference
-    over it. Each input file is one row in the text scan (same
+    scan → per-file vectorized quote-aware splitter (mapInPandas), which
+    emits each document as one physical line (out-of-string newlines →
+    space; lenient raw in-string newlines → proper \\n/\\r escapes, so
+    string contents are preserved exactly) → spill the one-doc-per-line
+    stream to `scratch_dir` as text → standard JSON-lines union-schema
+    inference over it. Each input file is one row in the text scan (same
     whole-file memory model as the reference); at scale, line-delimited
     JSON remains the fast path — this is the parity path for legacy
     concatenated files. On a cluster pass a shared `scratch_dir`
-    (defaults to a driver-local temp dir, fine for local mode)."""
+    (defaults to a driver-local temp dir, removed at interpreter exit —
+    the staged text must outlive this call because the returned
+    DataFrame scans it lazily)."""
     import tempfile
     from collections.abc import Iterator
 
@@ -117,13 +151,15 @@ def ingest_json_concat(spark: SparkSession, path: str,
         for pdf in batches:
             out = []
             for blob in pdf["value"]:
-                out.extend(d.replace("\n", " ").replace("\r", " ")
-                           for d in _split_concat_docs(blob))
+                out.extend(_split_concat_docs(blob))
             yield pd.DataFrame({"value": out})
 
     docs = raw.mapInPandas(split_fn, "value string")
     if scratch_dir is None:
+        import atexit
+        import shutil
         scratch_dir = tempfile.mkdtemp(prefix="j2ps_concat_")
+        atexit.register(shutil.rmtree, scratch_dir, ignore_errors=True)
     staged = f"{scratch_dir}/docs_jsonl"
     docs.write.mode("overwrite").text(staged)
     return (spark.read

@@ -150,6 +150,25 @@ def test_split_concat_docs_escapes():
     assert _split_concat_docs("   \n ") == []
 
 
+def test_split_concat_docs_lenient_instring_newlines(spark, tmp_path):
+    """Raw \\n/\\r INSIDE string values (illegal JSON that lenient
+    parsers accept) must survive ingest bit-exactly — escaped to \\\\n,
+    not flattened to spaces — while out-of-string newlines still
+    collapse so each emitted document is one line (ADVICE r3)."""
+    import json as _json
+
+    from json_to_parquet_spark.sources import ingest
+    blob = '{"a": 1,\n "s": "line1\nline2\r"}{"a": 2, "s": "x\\n"}'
+    docs = ingest._split_concat_docs(blob)
+    assert all("\n" not in d and "\r" not in d for d in docs)
+    assert [_json.loads(d) for d in docs] == [
+        {"a": 1, "s": "line1\nline2\r"}, {"a": 2, "s": "x\n"}]
+    p = tmp_path / "lenient.json"
+    p.write_text(blob)
+    rows = {r.a: r.s for r in ingest.ingest_json_concat(spark, str(p)).collect()}
+    assert rows == {1: "line1\nline2\r", 2: "x\n"}
+
+
 def test_write_table_seam(spark, tmp_path):
     """Sink seam: the explicit `iceberg_available` config probe decides
     the branch. No Iceberg runtime in the sandbox → path-shaped target,

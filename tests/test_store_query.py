@@ -178,3 +178,53 @@ def test_resume_filter_scales_to_many_chunks(spark, tmp_path):
     expect = with_chunk_id(df, "k", n_chunks) \
         .filter(F.col("__chunk_id") >= 50_000).count()
     assert m["rows"] == expect
+
+
+def test_skip_store_write_marks_manifest_skipped(spark, tmp_path,
+                                                 monkeypatch):
+    """The SPARK_GRAFT_SKIP_STORE_WRITE perf-isolation hook suppresses
+    chunk-file writes; its manifest rows must carry status='skipped' (not
+    'ok'), and a later real run must NOT treat the hollow chunks as
+    complete (ADVICE r3)."""
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("v"))
+    out = str(tmp_path / "enc")
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_STORE_WRITE", "1")
+    pipeline.run_encode(spark, df, out, key="k", n_chunks=4)
+    man = spark.read.parquet(out + "/manifest")
+    assert man.filter(F.col("status") != "skipped").count() == 0
+    import glob
+    assert glob.glob(out + "/chunks/chunk_id=*/*.parquet") == []
+    monkeypatch.delenv("SPARK_GRAFT_SKIP_STORE_WRITE")
+    # resumed REAL run: skipped chunks don't count as done → full encode
+    m = pipeline.run_encode(spark, df, out, key="k", n_chunks=4)
+    assert m["chunks_skipped"] == 0 and m["chunks_encoded"] == 4
+    assert pipeline.read_encoded(spark, out).count() == 3000
+
+
+def test_direct_store_guard_non_local_master(spark, tmp_path):
+    """direct_store=True without a provably-shared store filesystem
+    (non-local master, no store_is_shared attestation) must raise instead
+    of silently scattering chunk files across executor-local disks
+    (ADVICE r3 medium)."""
+    import pytest as _pytest
+
+    df = spark.range(0, 10).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"))
+
+    class _FakeSC:
+        master = "spark://cluster:7077"
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    with _pytest.raises(ValueError, match="store_is_shared"):
+        pipeline.run_encode(_FakeSpark(), df, str(tmp_path / "x"),
+                            key="k", direct_store=True)
+    # attested shared mount on the same fake master resolves to the
+    # direct path without raising at the guard (local spark does the run)
+    m = pipeline.run_encode(spark, df, str(tmp_path / "y"), key="k",
+                            n_chunks=2, direct_store=True,
+                            store_is_shared=True)
+    assert m["chunks_encoded"] == 2
