@@ -222,10 +222,14 @@ def bucket_element_pairs(bucketed: DataFrame, group_cols: list[str],
                     .alias("__eb")))
     # explicit REPARTITION_BY_NUM: AQE would coalesce a by-column
     # repartition of these few-KB rows back into one partition — exactly
-    # the serialization this exists to break
-    n_part = int(bucketed.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    segs = segs.repartition(n_part, *group_cols, "__si", "__sj")
+    # the serialization this exists to break. Provably-useless case
+    # skipped: with max_bucket <= slice_size every surviving bucket is a
+    # single segment, so there is nothing to spread and the exchange
+    # would only add a stage barrier.
+    if not (max_bucket is not None and max_bucket <= slice_size):
+        n_part = int(bucketed.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+        segs = segs.repartition(n_part, *group_cols, "__si", "__sj")
     lead = segs.select(F.posexplode("__ea").alias("__p", "__a"),
                        "__ea", "__eb")
     return lead.select(

@@ -268,3 +268,20 @@ def test_bucket_pairs_hot_bucket(spark):
     assert len(got) == len(pairs) == 50 * 49 // 2 + 1
     assert all(a < b for a, b in pairs)
     assert (200, 201) in pairs and (3, 4) in pairs
+
+
+def test_bucket_pairs_bounded_buckets_skip_spread_shuffle(spark):
+    """max_bucket <= slice_size proves every surviving bucket fits one
+    segment, so the skew-spread exchange is skipped (plan-asserted) and
+    the pair set is unchanged."""
+    from json_to_parquet_spark.operators.dedup import _bucket_pairs
+    rows = [(i, 0, 77) for i in range(40)] + [(200, 2, 99), (201, 2, 99)]
+    df = spark.createDataFrame(rows, "doc_id long, band int, key long")
+    spread = _bucket_pairs(df, "doc_id", slice_size=64)
+    gated = _bucket_pairs(df, "doc_id", slice_size=64, max_bucket=64)
+    def n_exchanges(d):
+        return d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "simple").count("Exchange")
+    assert n_exchanges(gated) == n_exchanges(spread) - 1
+    assert sorted((r.id_a, r.id_b) for r in gated.collect()) == \
+           sorted((r.id_a, r.id_b) for r in spread.collect())
