@@ -353,6 +353,21 @@ def q_chunk_assignment_md5(spark, sf):
             .agg(F.count(F.lit(1)).alias("n_rows")))
 
 
+def q_hyperplane_bucket_md5(spark, sf):
+    """Md5-plane twin of the hyperplane-LSH signature kernel: per-vector
+    12-bit bucket under H[d,b] = md5_lane('hp:'||d, b)/2^60 - 0.5 —
+    DuckDB recomputes the projection sums and sign-bit packing
+    closed-form, value-checking the pandas_udf matmul + packbits
+    (endianness, element indexing, sign convention) that every
+    hyperplane-LSH operator (embedding_neardup_pairs, ann.lsh_topk)
+    hangs off. The production path keeps the seeded gaussian planes."""
+    from json_to_parquet_spark.operators.dedup import (
+        hyperplane_signature, md5_hyperplane_matrix)
+    sig = hyperplane_signature(64, 12, planes=md5_hyperplane_matrix(64, 12))
+    return _t(spark, sf, "embeddings").select(
+        "vec_id", sig(F.col("embedding")).alias("bucket"))
+
+
 def q_embedding_neardup(spark, sf):
     from json_to_parquet_spark.operators.dedup import cosine_expr
     emb = _t(spark, sf, "embeddings").select(
@@ -555,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dedup_dropped_md5": _shipped(q_minhash_dedup_dropped_md5),
         "q_simhash_md5": _shipped(q_simhash_md5),
         "q_chunk_assignment_md5": _shipped(q_chunk_assignment_md5),
+        "q_hyperplane_bucket_md5": _shipped(q_hyperplane_bucket_md5),
         # rows-only (hash-seeded / pipeline / stubbed)
         "q_minhash_candidates": _shipped(q_minhash_candidates),
         "q_minhash_dedup_kept": _shipped(q_minhash_dedup_kept),
@@ -998,6 +1014,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT {_lane_sql('doc_id::VARCHAR', 0)} AS h
                   FROM documents)
             GROUP BY 1""",
+        "q_hyperplane_bucket_md5": """
+            WITH planes AS (
+              SELECT d.d, b.b,
+                     CAST(('0x' || substring(md5('hp:' || d.d || ':' || b.b),
+                                             1, 15))
+                          AS BIGINT) / 1152921504606846976.0 - 0.5 AS h
+              FROM range(64) d(d), range(12) b(b)),
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                  FROM embeddings),
+            proj AS (
+              SELECT v.vec_id, p.b, sum(v.ev[p.d + 1] * p.h) AS s
+              FROM v, planes p GROUP BY v.vec_id, p.b)
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN s > 0
+                                 THEN (CAST(1 AS BIGINT) << b)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id""",
         "q_chunk_stats": _chunk_stats_sql(),
         "q_codec_selection": _codec_selection_sql(),
         "q_media_meta_md5": _media_meta_md5_sql(),

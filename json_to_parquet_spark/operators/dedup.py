@@ -517,10 +517,30 @@ def _hyperplane_matrix(dim: int, nbits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((dim, nbits)).astype(np.float64)
 
 
-def hyperplane_signature(dim: int, nbits: int = 16, seed: int = 42):
+def md5_hyperplane_matrix(dim: int, nbits: int) -> np.ndarray:
+    """Deterministic hyperplane matrix DuckDB can recompute closed-form:
+    H[d, b] = md5_lane_hash('hp:'||d, b) / 2^60 - 0.5 (uniform on
+    [-0.5, 0.5) — not gaussian, but hyperplane LSH only needs a
+    symmetric direction distribution). Powers the *_md5 oracle twin of
+    the hyperplane-LSH pipeline; the gaussian seed matrix remains the
+    production path."""
+    import hashlib
+    h = np.empty((dim, nbits), dtype=np.float64)
+    for d in range(dim):
+        for b in range(nbits):
+            hx = hashlib.md5(f"hp:{d}:{b}".encode()).hexdigest()
+            h[d, b] = int(hx[:15], 16) / float(1 << 60) - 0.5
+    return h
+
+
+def hyperplane_signature(dim: int, nbits: int = 16, seed: int = 42,
+                         planes: np.ndarray | None = None):
     """Returns a pandas_udf mapping array<float> → int bucket (LSH sign
-    bits of random hyperplane projections; numpy matmul per batch)."""
-    planes = _hyperplane_matrix(dim, nbits, seed)
+    bits of random hyperplane projections; numpy matmul per batch).
+    `planes` overrides the seeded gaussian matrix (oracle twins pass the
+    md5-derived one)."""
+    if planes is None:
+        planes = _hyperplane_matrix(dim, nbits, seed)
 
     @pandas_udf(LongType())
     def sig(vecs: pd.Series) -> pd.Series:
@@ -540,8 +560,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             seed: int = 42,
                             slice_size: int = DEFAULT_SLICE,
                             max_bucket: int | None = None,
-                            observation: Observation | None = None
-                            ) -> DataFrame:
+                            observation: Observation | None = None,
+                            planes: np.ndarray | None = None) -> DataFrame:
     """Cosine near-dup pairs: hyperplane-LSH bucket blocking + exact
     cosine confirm inside buckets.
 
@@ -551,7 +571,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     that each recomputed the signature pipeline) and hot buckets fan
     out across tasks. The vector rides the struct into the pair row,
     where the cosine confirm reads both sides JVM-side."""
-    sig = hyperplane_signature(dim, nbits, seed)
+    sig = hyperplane_signature(dim, nbits, seed, planes=planes)
     s = df.select(F.col(id_col),
                   F.col(vec_col).cast("array<double>").alias("v"),
                   sig(F.col(vec_col)).alias("bucket"))
