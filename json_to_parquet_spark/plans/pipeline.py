@@ -327,6 +327,22 @@ def run_encode(spark: SparkSession, src: DataFrame, out_dir: str,
             .withColumn("status", F.lit("ok"))
         manifest.write.mode("append").parquet(_manifest_path(out_dir))
 
+    # --- write invariant for the read path: the direct (pyarrow) writer
+    # emits each chunk file in ONE write_table call over ~n_columns rows,
+    # so it can never produce a second row group; recording that lets
+    # read_encoded skip its driver-side multi-row-group probe (a serial
+    # stat pass over ~3M files at 100 TB). The JVM partitioned writer
+    # flushes by parquet.block.size and CAN split a >128 MB chunk, so the
+    # flag is only true while every run over this store was direct.
+    # Mutating chunk files in place without updating the meta is out of
+    # contract (manifest checksums already catch it).
+    with open(_meta_file(out_dir)) as fh:
+        meta_j = json.load(fh)
+    meta_j["single_row_group"] = bool(direct_store) and \
+        meta_j.get("single_row_group", True)
+    with open(_meta_file(out_dir), "w") as fh:
+        json.dump(meta_j, fh, default=str)
+
     # --- run metrics
     agg = manifest.agg(
         F.countDistinct("chunk_id").alias("chunks"),
@@ -436,7 +452,13 @@ def read_encoded(spark: SparkSession, out_dir: str,
         meta = json.load(fh)
     schema = T.StructType.fromJson(json.loads(meta["schema"]))
     if shuffle is None:
-        shuffle = _store_needs_shuffle_decode(spark, _chunks_path(out_dir))
+        # stores written entirely by the direct (pyarrow) writer record
+        # the one-row-group-per-file invariant at encode time — trust it
+        # and skip the per-file footer probe (serial stat pass over ~3M
+        # files at 100 TB); otherwise detect
+        shuffle = (False if meta.get("single_row_group")
+                   else _store_needs_shuffle_decode(spark,
+                                                    _chunks_path(out_dir)))
     chunks = spark.read.parquet(_chunks_path(out_dir))
     residual = None
     if where is not None:

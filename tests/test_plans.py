@@ -134,10 +134,19 @@ def test_read_encoded_auto_fallback_multi_rowgroup(spark, tmp_path):
     pages = synth_webpages(spark, 500, partitions=4)
     out = str(tmp_path / "store")
     pipeline.run_encode(spark, pages, out, n_chunks=3)
-    # rewrite one chunk file one-row-group-PER-ROW (foreign-writer shape)
+    # the direct writer records its one-row-group-per-file invariant
+    import json
+    with open(out + "/table_meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["single_row_group"] is True
+    # rewrite one chunk file one-row-group-PER-ROW (foreign-writer shape);
+    # a foreign rewriter does not carry the engine's write invariant
     f = out + "/chunks/chunk_id=1/part-00000.parquet"
     pq.write_table(pq.read_table(f), f, row_group_size=1,
                    compression="none")
+    del meta["single_row_group"]
+    with open(out + "/table_meta.json", "w") as fh:
+        json.dump(meta, fh)
     meta = pq.ParquetFile(f).metadata
     assert meta.num_row_groups > 1
     import os
