@@ -61,6 +61,9 @@ def get_spark(app: str = "json_to_parquet_spark", cores: int | None = None,
         .config("spark.executor.memory",
                 os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # \r-refreshed progress bars share bench.py's final stdout line
+        # with its one-line JSON result, breaking newline-split parsers
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Arrow IPC keeps many threads in JNI critical regions; the JVM
         # default of 2 GCLocker allocation retries causes spurious
