@@ -189,7 +189,11 @@ def main() -> int:
     with open(os.path.join(repo_root, "tools",
                            f"scaling_result_{tag}.json"), "w") as fh:
         json.dump(report, fh)
-    write_bench_md(repo_root)
+    # BENCH.md's session table / narrative is hand-maintained between
+    # sessions; supervised runs (tools/storm_guard.py) set this so an
+    # auto-regeneration cannot wipe it mid-round
+    if not os.environ.get("SPARK_GRAFT_SKIP_BENCH_MD"):
+        write_bench_md(repo_root)
     return 0
 
 
