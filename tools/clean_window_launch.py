@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import shlex
 import subprocess
 import sys
 import time
@@ -68,7 +69,7 @@ def probe() -> dict:
 
 
 def main() -> int:
-    rows = sys.argv[1] if len(sys.argv) > 1 else "8000000"
+    rows = str(int(sys.argv[1])) if len(sys.argv) > 1 else "8000000"
     max_slow = float(os.environ.get("SPARK_GRAFT_MAX_SLOWDOWN", "1.06"))
     max_unit = float(os.environ.get("SPARK_GRAFT_MAX_UNIT", "0.48"))
     interval = float(os.environ.get("SPARK_GRAFT_PROBE_INTERVAL_S", "180"))
@@ -90,8 +91,9 @@ def main() -> int:
                 fh.write(json.dumps({"launched_at": waited, "probe": p}))
             # wrapper shell removes the flag when the bench exits, pass
             # or fail, so a crash cannot leave the box marked busy forever
-            cmd = (f"{sys.executable} {bench} {rows} > {log} 2>&1; "
-                   f"rm -f {flag}")
+            q = shlex.quote
+            cmd = (f"{q(sys.executable)} {q(bench)} {q(rows)} "
+                   f"> {q(log)} 2>&1; rm -f {q(flag)}")
             subprocess.Popen(["setsid", "bash", "-c", cmd],
                              start_new_session=True)
             print(json.dumps({"launched": True, "log": log}), flush=True)

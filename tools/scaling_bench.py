@@ -189,10 +189,11 @@ def main() -> int:
     with open(os.path.join(repo_root, "tools",
                            f"scaling_result_{tag}.json"), "w") as fh:
         json.dump(report, fh)
-    # BENCH.md's session table / narrative is hand-maintained between
-    # sessions; supervised runs (tools/storm_guard.py) set this so an
-    # auto-regeneration cannot wipe it mid-round
-    if not os.environ.get("SPARK_GRAFT_SKIP_BENCH_MD"):
+    # BENCH.md carries a hand-maintained session table / narrative, so
+    # regeneration is OPT-IN: a plain reproduce run must never silently
+    # wipe the curated history. Set SPARK_GRAFT_WRITE_BENCH_MD=1 to
+    # regenerate the template sections (BENCH_NOTES.md is re-appended).
+    if os.environ.get("SPARK_GRAFT_WRITE_BENCH_MD"):
         write_bench_md(repo_root)
     return 0
 

@@ -70,15 +70,23 @@ def wait_clean(max_slow: float, max_unit: float, interval: float,
     return False
 
 
+ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r5")
+
+
 def run_session(rows: str, session_no: int, floor8: float, floor32: float,
                 ) -> dict | None:
     """Launch one bench session; abort on the first stormy round.
 
-    Returns the bench's final report dict, or None if aborted/stalled.
+    The storm rule is applied to EVERY round the bench prints, including
+    the final one (read after proc.wait() — the live loop's 10 s poll
+    almost always exits before the last round_result line lands in the
+    log). Returns the bench's final report dict, or None if
+    aborted/stalled/storm-contaminated.
     """
     log_path = f"/tmp/scaling_guard_s{session_no}.log"
+    # BENCH.md regeneration is opt-in in scaling_bench.py (default off),
+    # so guard-launched sessions can't wipe the curated history
     env = dict(os.environ)
-    env["SPARK_GRAFT_SKIP_BENCH_MD"] = "1"
     with open(FLAG, "w") as fh:
         fh.write(json.dumps({"session": session_no, "t": time.time()}))
     lf = open(log_path, "w")
@@ -90,6 +98,40 @@ def run_session(rows: str, session_no: int, floor8: float, floor32: float,
     seen_rounds: list[dict] = []
     pos = 0
     abort_reason = None
+
+    def scan_new_rounds() -> str | None:
+        """Parse any new round_result lines; return a storm reason or None."""
+        nonlocal pos
+        with open(log_path) as fh:
+            fh.seek(pos)
+            new = fh.read()
+            pos = fh.tell()
+        for line in new.splitlines():
+            if not line.startswith('{"round_result"'):
+                continue
+            r = json.loads(line)["round_result"]
+            seen_rounds.append(r)
+            w8 = r["levels"]["8"]["wall_s"]
+            w32 = r["levels"]["32"]["wall_s"]
+            _log({"session": session_no, "round": r["round"],
+                  "wall8": w8, "wall32": w32,
+                  "eff": r["scaling_efficiency"]})
+            if w8 > floor8 or w32 > floor32:
+                return (f"round {r['round']} best walls 8={w8} 32={w32} "
+                        f"exceed clean floors (max {floor8}/{floor32})")
+        return None
+
+    def record_abort(reason: str) -> None:
+        _append_attempt({
+            "pair": "8to32", "rows": int(rows), "aborted": True,
+            "code": f"{ROUND_TAG} storm-guard session {session_no}",
+            "rounds_completed": [r["scaling_efficiency"]
+                                 for r in seen_rounds],
+            "walls_8": [r["levels"]["8"]["wall_s"] for r in seen_rounds],
+            "walls_32": [r["levels"]["32"]["wall_s"] for r in seen_rounds],
+            "reason": reason})
+        _log({"session": session_no, "aborted": reason})
+
     try:
         while proc.poll() is None:
             time.sleep(10)
@@ -98,25 +140,7 @@ def run_session(rows: str, session_no: int, floor8: float, floor32: float,
             if time.time() - t0 > 1800:
                 abort_reason = "session exceeded 30 min hard cap"
                 break
-            with open(log_path) as fh:
-                fh.seek(pos)
-                new = fh.read()
-                pos = fh.tell()
-            for line in new.splitlines():
-                if not line.startswith('{"round_result"'):
-                    continue
-                r = json.loads(line)["round_result"]
-                seen_rounds.append(r)
-                w8 = r["levels"]["8"]["wall_s"]
-                w32 = r["levels"]["32"]["wall_s"]
-                _log({"session": session_no, "round": r["round"],
-                      "wall8": w8, "wall32": w32,
-                      "eff": r["scaling_efficiency"]})
-                if w8 > floor8 or w32 > floor32:
-                    abort_reason = (
-                        f"round {r['round']} best walls 8={w8} 32={w32} "
-                        f"exceed clean floors (max {floor8}/{floor32})")
-                    break
+            abort_reason = scan_new_rounds()
             if abort_reason:
                 break
         if abort_reason:
@@ -124,26 +148,28 @@ def run_session(rows: str, session_no: int, floor8: float, floor32: float,
                 os.killpg(proc.pid, signal.SIGKILL)
             except ProcessLookupError:
                 pass
-            _append_attempt({
-                "pair": "8to32", "rows": int(rows), "aborted": True,
-                "code": f"r4 storm-guard session {session_no}",
-                "rounds_completed": [r["scaling_efficiency"]
-                                     for r in seen_rounds],
-                "walls_8": [r["levels"]["8"]["wall_s"]
-                            for r in seen_rounds],
-                "walls_32": [r["levels"]["32"]["wall_s"]
-                             for r in seen_rounds],
-                "reason": abort_reason})
-            _log({"session": session_no, "aborted": abort_reason})
+            try:
+                proc.wait(timeout=30)  # reap — no zombie per aborted session
+            except subprocess.TimeoutExpired:
+                pass
+            record_abort(abort_reason)
             return None
         proc.wait()
+        # final read: the last round's round_result line lands just before
+        # exit, after the live loop has already stopped polling — the storm
+        # rule must cover it too, else a session stormy only in its final
+        # round would be recorded as wall-clean
+        late_reason = scan_new_rounds()
+        if late_reason:
+            record_abort(late_reason + " (detected after bench exit)")
+            return None
         with open(RESULT) as fh:
             report = json.load(fh)
         mins8 = [r["levels"]["8"]["wall_s"] for r in seen_rounds]
         mins32 = [r["levels"]["32"]["wall_s"] for r in seen_rounds]
         _append_attempt({
             "pair": "8to32", "rows": report["rows"],
-            "code": f"r4 session {session_no} (storm-guarded)",
+            "code": f"{ROUND_TAG} session {session_no} (storm-guarded)",
             "raw_eff": report["scaling_efficiency"],
             "rounds": [r["scaling_efficiency"] for r in
                        report["all_rounds"]],
@@ -152,7 +178,8 @@ def run_session(rows: str, session_no: int, floor8: float, floor32: float,
             "hw_norm_eff": report["scaling_efficiency_hw_normalized"],
             "note": ("completed under storm-guard: every round's best "
                      "walls within the clean floors "
-                     f"(8<= {max(mins8)}, 32<= {max(mins32)})")})
+                     + (f"(8<= {max(mins8)}, 32<= {max(mins32)})"
+                        if mins8 and mins32 else "(no rounds parsed)"))})
         _log({"session": session_no, "completed": True,
               "eff": report["scaling_efficiency"]})
         return report
@@ -160,6 +187,24 @@ def run_session(rows: str, session_no: int, floor8: float, floor32: float,
         lf.close()
         if os.path.exists(FLAG):
             os.remove(FLAG)
+
+
+def next_session_no() -> int:
+    """Derive the next storm-guard session number from the attempt log
+    (not hardcoded — reruns in later rounds must not duplicate labels)."""
+    import re
+    last = 0
+    if os.path.exists(ATTEMPTS):
+        with open(ATTEMPTS) as fh:
+            for line in fh:
+                try:
+                    code = json.loads(line).get("code", "")
+                except json.JSONDecodeError:
+                    continue
+                m = re.search(r"session (\d+)", code)
+                if m:
+                    last = max(last, int(m.group(1)))
+    return last + 1
 
 
 def main() -> int:
@@ -171,7 +216,8 @@ def main() -> int:
     max_slow = float(os.environ.get("SPARK_GRAFT_MAX_SLOWDOWN", "1.06"))
     max_unit = float(os.environ.get("SPARK_GRAFT_MAX_UNIT", "0.48"))
     interval = float(os.environ.get("SPARK_GRAFT_PROBE_INTERVAL_S", "150"))
-    session_no = 5  # sessions 1-4 already recorded this round
+    session_no = next_session_no()
+    first_session = session_no
     while time.time() < deadline:
         if not wait_clean(max_slow, max_unit, interval, deadline):
             break
@@ -182,7 +228,7 @@ def main() -> int:
                 fh.write(json.dumps(report))
             _log({"done": "success", "eff": report["scaling_efficiency"]})
             return 0
-    _log({"done": "deadline", "sessions_tried": session_no - 5})
+    _log({"done": "deadline", "sessions_tried": session_no - first_session})
     return 1
 
 
