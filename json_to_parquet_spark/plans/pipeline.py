@@ -109,6 +109,17 @@ def completed_chunks(spark: SparkSession, out_dir: str,
     potentially millions of ids into an `isin` literal list. None when no
     manifest exists yet."""
     path = _manifest_path(out_dir)
+    # existence pre-check via the Hadoop FS API (works for any scheme the
+    # session can reach, not just local paths): a fresh run has no manifest,
+    # and letting DataFrameReader.parquet throw PATH_NOT_FOUND makes log4j
+    # print a full JVM stack trace to stderr on EVERY fresh encode — pure
+    # noise in batch logs. The except stays for the crash-resume corner
+    # where a killed run left a directory the reader can't infer from.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
     try:
         m = spark.read.parquet(path)
     except Exception:
